@@ -1,0 +1,446 @@
+"""EvalNet training-data generators (reference functions.py:3419-4323).
+
+Two families:
+
+1. Checkpoint-model datagen (``create_training_data_evalnet_binary`` /
+   ``_multiclass``, reference 3419-3567): one previously-trained model
+   predicts every labeled image; the pred mask is saved as
+   ``{stem}___{i}.png`` and an (name, IoU-vs-gt) row appended to
+   ``labels.csv``; loop index 0 also copies the GT pairs with label 1.0.
+
+2. IM datagen (``..._im_*``, reference 3572-4006): per loop, a RANDOM
+   2-4-model subset produces an IM pseudo-label, random erode/dilate from
+   {0, 3, 5} is applied, the pair is blocked out, labeled with IoU vs gt
+   (scalar, or classwise IoU + detection for the mIoU variants), randomly
+   augmented with p=0.5 and saved as ``{stem}_aug_{nl}.png``.
+
+TPU design: per batch, ALL K teacher probabilities are computed once
+(stacked vmap); each image's random subset is a (B, K) boolean mask and the
+"unanimity over the subset" reduction happens under that mask — so the
+per-image random subsets of the reference become one fused program with no
+recompilation.  Random morphology per image = compute the {0,3,5} variants
+and per-image select (selects are free next to the model FLOPs).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import shutil
+from functools import partial
+from typing import Optional, Sequence
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import eval_batches, list_pngs, load_images
+from ..ops import augment, metrics, morphology
+from ..pseudo.engine import StackedEnsemble
+from .labels import compute_classwise_detection_im, compute_classwise_iou
+
+_KERNEL_CHOICES = (0, 3, 5)
+
+
+def _append_labels(main_output_path: str, rows) -> None:
+    with open(os.path.join(main_output_path, "labels.csv"), "a",
+              encoding="utf-8", newline="") as f:
+        writer = csv.writer(f, delimiter=";")
+        for row in rows:
+            writer.writerow(row)
+
+
+def _pred_name(imagename: str, i: int) -> str:
+    """The reference's ``___{i}`` naming incl. the i>=10 aug special case
+    (functions.py:3466-3472)."""
+    if i >= 10 and "aug" in imagename:
+        return f"{imagename[:-10]}___{i}_{imagename[-6:-4]}.png"
+    return f"{imagename[:-4]}___{i}.png"
+
+
+def _copy_gt_pairs(images_path, masks_path, main_output_path, rows):
+    for imagename in list_pngs(images_path):
+        rows.append((imagename, 1.0))
+        shutil.copy(os.path.join(images_path, imagename),
+                    os.path.join(main_output_path, "images", imagename))
+        shutil.copy(os.path.join(masks_path, imagename),
+                    os.path.join(main_output_path, "masks", imagename))
+
+
+_JIT_CACHE: dict = {}
+
+
+def _forward(module):
+    fn = _JIT_CACHE.get(module)
+    if fn is None:
+        fn = jax.jit(lambda v, x: module.apply(v, x, train=False))
+        _JIT_CACHE[module] = fn
+    return fn
+
+
+def create_training_data_evalnet_binary(module, variables, images_path: str,
+                                        masks_path: str,
+                                        main_output_path: str, i: int, *,
+                                        channels: int = 3,
+                                        threshold: float = 0.5,
+                                        batch_size: int = 32) -> None:
+    forward = _forward(module)
+    for sub in ("images", "masks"):
+        os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
+    ds = load_images(images_path, channels)
+    gt = load_images(masks_path, 1, names=ds.names)
+
+    rows = []
+    cursor = 0
+    for images, _ in eval_batches(ds, batch_size):
+        probs = forward(variables, jnp.asarray(images))
+        preds = np.asarray(((probs[..., 0] > threshold) * 255
+                            ).astype(jnp.uint8))
+        gts = gt.images[cursor:cursor + preds.shape[0], ..., 0]
+        ious = np.asarray(metrics.iou_binary(jnp.asarray(gts),
+                                             jnp.asarray(preds)))
+        for j in range(preds.shape[0]):
+            name = _pred_name(ds.names[cursor + j], i)
+            cv2.imwrite(os.path.join(main_output_path, "masks", name),
+                        preds[j])
+            rows.append((name, round(float(ious[j]), 4)))
+        cursor += preds.shape[0]
+
+    if i == 0:
+        _copy_gt_pairs(images_path, masks_path, main_output_path, rows)
+    _append_labels(main_output_path, rows)
+
+
+def create_training_data_evalnet_multiclass(module, variables,
+                                            images_path: str,
+                                            masks_path: str,
+                                            main_output_path: str, i: int, *,
+                                            num_classes: int,
+                                            channels: int = 3,
+                                            batch_size: int = 32) -> None:
+    forward = _forward(module)
+    for sub in ("images", "masks"):
+        os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
+    ds = load_images(images_path, channels)
+    gt = load_images(masks_path, 1, names=ds.names)
+
+    rows = []
+    cursor = 0
+    for images, _ in eval_batches(ds, batch_size):
+        probs = forward(variables, jnp.asarray(images))
+        preds = np.asarray(jnp.argmax(probs, axis=-1).astype(jnp.uint8))
+        gts = gt.images[cursor:cursor + preds.shape[0], ..., 0]
+        ious = np.asarray(metrics.iou_multi_unique(
+            jnp.asarray(preds.astype(np.int32)),
+            jnp.asarray(gts.astype(np.int32)), num_classes))
+        for j in range(preds.shape[0]):
+            name = _pred_name(ds.names[cursor + j], i)
+            cv2.imwrite(os.path.join(main_output_path, "masks", name),
+                        preds[j])
+            rows.append((name, round(float(ious[j]), 4)))
+        cursor += preds.shape[0]
+
+    if i == 0:
+        _copy_gt_pairs(images_path, masks_path, main_output_path, rows)
+    _append_labels(main_output_path, rows)
+
+
+# --------------------------------------------------------------------------
+# IM datagen: random model subsets, fused
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("binary",))
+def _subset_im(probs, subset_mask, threshold, binary=True):
+    """probs (K,B,H,W,C); subset_mask (B,K) bool -> per-image IM over each
+    image's RANDOM model subset, fully batched.
+
+    binary: pred = all-selected agree 1; im = 0 < votes < n_selected.
+    multiclass: agreement of argmaxes across selected models.
+    """
+    k = probs.shape[0]
+    sel = subset_mask.T.astype(jnp.int32)                      # (K, B)
+    n_sel = jnp.sum(sel, axis=0)                               # (B,)
+    if binary:
+        m = (probs > threshold).astype(jnp.int32)              # (K,B,H,W,C)
+        selb = sel[:, :, None, None, None]
+        votes = jnp.sum(m * selb, axis=0)                      # (B,H,W,C)
+        nb = n_sel[:, None, None, None]
+        pred = (votes == nb).astype(jnp.uint8) * 255
+        im = jnp.logical_and(votes != 0, votes != nb)
+        im2d = (jnp.max(im, axis=-1).astype(jnp.uint8)) * 255
+        return pred[..., 0], im2d
+    cm = jnp.argmax(probs, axis=-1).astype(jnp.int32)          # (K,B,H,W)
+    # "first selected model" reference value per image
+    first_idx = jnp.argmax(sel, axis=0)                        # (B,)
+    ref = jnp.take_along_axis(
+        cm, first_idx[None, :, None, None], axis=0)[0]         # (B,H,W)
+    selb = sel[:, :, None, None]
+    agree = jnp.all(jnp.where(selb > 0, cm == ref[None], True), axis=0)
+    pred = jnp.where(agree, ref, 0).astype(jnp.uint8)
+    im2d = (jnp.logical_not(agree).astype(jnp.uint8)) * 255
+    return pred, im2d
+
+
+@jax.jit
+def _random_morphology(im2d, erode_choice, dilate_choice):
+    """Apply per-image random erode/dilate kernel from {0,3,5}: compute the
+    three variants, select per image (choices (B,) in {0,1,2})."""
+    er = jnp.stack([im2d, morphology.erode(im2d, 3),
+                    morphology.erode(im2d, 5)])
+    im2d = jnp.take_along_axis(
+        er, erode_choice[None, :, None, None], axis=0)[0]
+    di = jnp.stack([im2d, morphology.dilate(im2d, 3),
+                    morphology.dilate(im2d, 5)])
+    return jnp.take_along_axis(
+        di, dilate_choice[None, :, None, None], axis=0)[0]
+
+
+def _random_subsets(rng: np.random.RandomState, b: int, k: int,
+                    n_min: int, n_max: int) -> np.ndarray:
+    out = np.zeros((b, k), bool)
+    for i in range(b):
+        n = rng.randint(n_min, n_max + 1)
+        out[i, rng.choice(k, size=min(n, k), replace=False)] = True
+    return out
+
+
+def _im_datagen_common(ens, images, threshold, host_rng, n_min, n_max,
+                      binary):
+    b, k = images.shape[0], ens.size
+    subset = _random_subsets(host_rng, b, k, n_min, n_max)
+    probs = ens.predict_probs(images)
+    pred, im2d = _subset_im(probs, jnp.asarray(subset), threshold,
+                            binary=binary)
+    er = jnp.asarray(host_rng.randint(0, 3, size=b))
+    di = jnp.asarray(host_rng.randint(0, 3, size=b))
+    im2d = _random_morphology(im2d, er, di)
+    hole = im2d > 0
+    images_b = jnp.where(hole[..., None], jnp.uint8(0), images)
+    pred = jnp.where(hole, jnp.uint8(0), pred)
+    return images_b, pred, im2d
+
+
+def create_training_data_evalnet_im_binary(
+        module, models: Sequence, images_path: str, masks_path: str,
+        main_output_path: str, num_loops: int, *, n_min_models: int = 2,
+        n_max_models: int = 4, channels: int = 3, threshold: float = 0.5,
+        brightness_range_alpha=(0.6, 1.4), brightness_range_beta=(-20, 20),
+        max_blur: int = 3, max_noise: int = 20, free_rotation: bool = False,
+        batch_size: int = 16, seed: int = 0) -> None:
+    """reference functions.py:3572-3668."""
+    ens = StackedEnsemble(module, models)
+    for sub in ("images", "masks"):
+        os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
+    ds = load_images(images_path, channels)
+    gt = load_images(masks_path, 1, names=ds.names)
+    host_rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    aug_p = augment.AugmentParams(
+        max_blur=max_blur, max_noise=max_noise,
+        brightness_alpha=tuple(brightness_range_alpha),
+        brightness_beta=tuple(brightness_range_beta),
+        free_rotation=free_rotation)
+
+    rows = []
+    for nl in range(num_loops):
+        cursor = 0
+        for images, _ in eval_batches(ds, batch_size):
+            images_j = jnp.asarray(images)
+            img_b, pred, _ = _im_datagen_common(
+                ens, images_j, threshold, host_rng, n_min_models,
+                n_max_models, binary=True)
+            gts = jnp.asarray(
+                gt.images[cursor:cursor + images.shape[0], ..., 0])
+            ious = np.asarray(metrics.iou_binary(gts, pred))
+            # random 50 % augmentation per image: augment the whole batch
+            # once, keep augmented or plain per-image (one program)
+            key, k_aug = jax.random.split(key)
+            aug_img, aug_masks = augment.augment_image_and_masks(
+                k_aug, img_b, [pred], aug_p)
+            take_aug = host_rng.random_sample(images.shape[0]) < 0.5
+            img_np, pred_np = np.asarray(img_b), np.asarray(pred)
+            aug_img_np = np.asarray(aug_img)
+            aug_pred_np = np.asarray(aug_masks[0])
+            for i in range(images.shape[0]):
+                name = f"{ds.names[cursor + i][:-4]}_aug_{nl}.png"
+                rows.append((name, round(float(ious[i]), 4)))
+                oi = aug_img_np[i] if take_aug[i] else img_np[i]
+                om = aug_pred_np[i] if take_aug[i] else pred_np[i]
+                bgr = (cv2.cvtColor(oi, cv2.COLOR_RGB2BGR)
+                       if channels == 3 else oi)
+                cv2.imwrite(os.path.join(main_output_path, "images", name),
+                            bgr)
+                cv2.imwrite(os.path.join(main_output_path, "masks", name),
+                            om)
+            cursor += images.shape[0]
+
+    _append_labels(main_output_path, rows)
+
+
+def create_training_data_evalnet_im_multiclass(
+        module, models: Sequence, images_path: str, masks_path: str,
+        main_output_path: str, num_loops: int, *, num_classes: int,
+        n_min_models: int = 2, n_max_models: int = 4, channels: int = 3,
+        brightness_range_alpha=(0.6, 1.4), brightness_range_beta=(-20, 20),
+        max_blur: int = 3, max_noise: int = 20, free_rotation: bool = False,
+        batch_size: int = 16, seed: int = 0,
+        classwise_labels: bool = False, detection_threshold: float = 0.3
+) -> None:
+    """reference functions.py:3673-3769 (scalar labels) and 3773-3877
+    (classwise_labels=True: the miou variant, per-class IoU + detection)."""
+    ens = StackedEnsemble(module, models)
+    for sub in ("images", "masks"):
+        os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
+    ds = load_images(images_path, channels)
+    gt = load_images(masks_path, 1, names=ds.names)
+    host_rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    aug_p = augment.AugmentParams(
+        max_blur=max_blur, max_noise=max_noise,
+        brightness_alpha=tuple(brightness_range_alpha),
+        brightness_beta=tuple(brightness_range_beta),
+        free_rotation=free_rotation)
+
+    rows = []
+    for nl in range(num_loops):
+        cursor = 0
+        for images, _ in eval_batches(ds, batch_size):
+            images_j = jnp.asarray(images)
+            img_b, pred, _ = _im_datagen_common(
+                ens, images_j, 0.5, host_rng, n_min_models, n_max_models,
+                binary=False)
+            gts = jnp.asarray(gt.images[cursor:cursor + images.shape[0],
+                                        ..., 0].astype(np.int32))
+            pred_i32 = pred.astype(jnp.int32)
+            if classwise_labels:
+                cw = np.asarray(compute_classwise_iou(pred_i32, gts,
+                                                      num_classes))
+                gt_counts = np.asarray(jax.nn.one_hot(
+                    gts, num_classes, dtype=jnp.float32).sum(axis=(1, 2)))
+                det = np.asarray(compute_classwise_detection_im(
+                    pred_i32, num_classes, jnp.asarray(gt_counts),
+                    detection_threshold))
+            else:
+                scalar = np.asarray(metrics.iou_multi_unique(
+                    pred_i32, gts, num_classes))
+            key, k_aug = jax.random.split(key)
+            aug_img, aug_masks = augment.augment_image_and_masks(
+                k_aug, img_b, [pred], aug_p)
+            take_aug = host_rng.random_sample(images.shape[0]) < 0.5
+            img_np, pred_np = np.asarray(img_b), np.asarray(pred)
+            aug_img_np, aug_pred_np = (np.asarray(aug_img),
+                                       np.asarray(aug_masks[0]))
+            for i in range(images.shape[0]):
+                name = f"{ds.names[cursor + i][:-4]}_aug_{nl}.png"
+                if classwise_labels:
+                    rows.append((name,
+                                 *[round(float(v), 4) for v in cw[i]],
+                                 *[int(v) for v in det[i]]))
+                else:
+                    rows.append((name, round(float(scalar[i]), 4)))
+                oi = aug_img_np[i] if take_aug[i] else img_np[i]
+                om = aug_pred_np[i] if take_aug[i] else pred_np[i]
+                bgr = (cv2.cvtColor(oi, cv2.COLOR_RGB2BGR)
+                       if channels == 3 else oi)
+                cv2.imwrite(os.path.join(main_output_path, "images", name),
+                            bgr)
+                cv2.imwrite(os.path.join(main_output_path, "masks", name),
+                            om)
+            cursor += images.shape[0]
+
+    _append_labels(main_output_path, rows)
+
+
+def create_training_data_evalnet_miou_im_multiclass(*args, **kwargs):
+    """Alias: the reference's mIoU variant = classwise labels
+    (functions.py:3773-3877)."""
+    kwargs["classwise_labels"] = True
+    return create_training_data_evalnet_im_multiclass(*args, **kwargs)
+
+
+def create_training_data_evalnet_miou_im_hela(
+        module, models: Sequence, bf_images_path: str, gt_main_path: str,
+        main_output_path: str, num_loops: int, *, n_min_models: int = 2,
+        n_max_models: int = 4, threshold: float = 0.5,
+        brightness_range_alpha=(0.8, 1.2), brightness_range_beta=(-10, 10),
+        max_blur: int = 1, max_noise: int = 10, batch_size: int = 16,
+        seed: int = 0) -> None:
+    """HeLa mIoU-EvalNet datagen (reference functions.py:3881-4006): random
+    model subsets vote per channel; labels = per-channel IoU vs gt +
+    per-channel detection (any gt pixels)."""
+    ens = StackedEnsemble(module, models)
+    for sub in ("brightfield", "alive", "dead", "mod_position"):
+        os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
+    ds = load_images(bf_images_path, 1)
+    gt_chans = {}
+    for chan in ("alive", "dead", "mod_position"):
+        gt_chans[chan] = load_images(os.path.join(gt_main_path, chan), 1,
+                                     names=ds.names)
+    host_rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    aug_p = augment.AugmentParams(
+        max_blur=max_blur, max_noise=max_noise,
+        brightness_alpha=tuple(brightness_range_alpha),
+        brightness_beta=tuple(brightness_range_beta), free_rotation=False)
+
+    rows = []
+    for nl in range(num_loops):
+        cursor = 0
+        for images, _ in eval_batches(ds, batch_size):
+            b = images.shape[0]
+            images_j = jnp.asarray(images)
+            probs = ens.predict_probs(images_j)       # (K,B,H,W,3)
+            subset = _random_subsets(host_rng, b, ens.size, n_min_models,
+                                     n_max_models)
+            sel = jnp.asarray(subset).T.astype(jnp.int32)
+            n_sel = jnp.sum(sel, axis=0)
+            m = (probs >= threshold).astype(jnp.int32)
+            votes = jnp.sum(m * sel[:, :, None, None, None], axis=0)
+            nb = n_sel[:, None, None, None]
+            pred = ((votes == nb) * 255).astype(jnp.uint8)   # (B,H,W,3)
+            im = jnp.logical_and(votes != 0, votes != nb)
+            im2d = (jnp.max(im, axis=-1) * 255).astype(jnp.uint8)
+            er = jnp.asarray(host_rng.randint(0, 3, size=b))
+            di = jnp.asarray(host_rng.randint(0, 3, size=b))
+            im2d = _random_morphology(im2d, er, di)
+            hole = im2d > 0
+            images_b = jnp.where(hole[..., None], jnp.uint8(0), images_j)
+            pred = jnp.where(hole[..., None], jnp.uint8(0), pred)
+
+            gts = np.stack([gt_chans[c].images[cursor:cursor + b, ..., 0]
+                            for c in ("alive", "dead", "mod_position")],
+                           axis=-1)
+            gts_j = jnp.asarray(gts)
+            inter = jnp.sum(((pred > 0) & (gts_j > 0)).astype(jnp.float32),
+                            axis=(1, 2))
+            union = jnp.sum(((pred > 0) | (gts_j > 0)).astype(jnp.float32),
+                            axis=(1, 2))
+            ious = np.asarray(inter / (union + 1e-7))          # (B, 3)
+            det = np.asarray((jnp.sum((gts_j > 0).astype(jnp.int32),
+                                      axis=(1, 2)) > 0).astype(jnp.float32))
+
+            key, k_aug = jax.random.split(key)
+            aug_img, aug_masks = augment.augment_image_and_masks(
+                k_aug, images_b, [pred], aug_p)
+            take_aug = host_rng.random_sample(b) < 0.5
+            img_np, pred_np = np.asarray(images_b), np.asarray(pred)
+            aug_img_np, aug_pred_np = (np.asarray(aug_img),
+                                       np.asarray(aug_masks[0]))
+            for i in range(b):
+                name = f"{ds.names[cursor + i][:-4]}_aug_{nl}.png"
+                rows.append((name, *[round(float(v), 4) for v in ious[i]],
+                             *[int(v) for v in det[i]]))
+                oi = aug_img_np[i] if take_aug[i] else img_np[i]
+                om = aug_pred_np[i] if take_aug[i] else pred_np[i]
+                cv2.imwrite(os.path.join(main_output_path, "brightfield",
+                                         name), oi[..., 0])
+                cv2.imwrite(os.path.join(main_output_path, "alive", name),
+                            om[..., 0])
+                cv2.imwrite(os.path.join(main_output_path, "dead", name),
+                            om[..., 1])
+                cv2.imwrite(os.path.join(main_output_path, "mod_position",
+                                         name), om[..., 2])
+            cursor += b
+
+    _append_labels(main_output_path, rows)

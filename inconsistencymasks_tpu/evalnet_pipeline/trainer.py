@@ -1,0 +1,181 @@
+"""EvalNet population trainer.
+
+The reference trains 5 EvalNet candidates serially FROM IDENTICAL INITIAL
+WEIGHTS (reference functions.py:4623-4630 ``set_weights(initial_weights)``)
+— diversity comes only from data-order/augmentation randomness — selecting
+top-4 by val MAE (single-head, functions.py:4495) or val total loss
+(two-head, functions.py:4647).  Here the candidates train simultaneously as
+a vmapped population; each candidate gets an INDEPENDENT shuffle stream
+(matching the reference's per-candidate generator reshuffling).
+
+Losses: single-head = MSE(pred_iou, iou); two-head = MSE(iou head) +
+BCE(detection head) (reference functions.py:4706, 4758).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops import losses
+from ..train.optim import adamw_decoupled
+from .dataset import EvalNetDataset
+
+
+class EvalNetTrainer:
+    """Population trainer for two-input (image, mask) EvalNets."""
+
+    def __init__(self, module, stacked_variables, *, two_head: bool,
+                 learning_rate: float, weight_decay: float):
+        self.module = module
+        self.two_head = two_head
+        self.tx = adamw_decoupled(learning_rate, weight_decay)
+        self.population = jax.tree.leaves(stacked_variables)[0].shape[0]
+        params = stacked_variables["params"]
+        batch_stats = stacked_variables.get("batch_stats", {})
+        self.state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": jax.vmap(self.tx.init)(params),
+            "best_params": jax.tree.map(jnp.copy, params),
+            "best_batch_stats": jax.tree.map(jnp.copy, batch_stats),
+            "best_metric": jnp.full((self.population,), jnp.inf),
+        }
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._select = jax.jit(self._select_impl, donate_argnums=0)
+
+    # ------------------------------------------------------------- internals
+
+    def _loss(self, params, batch_stats, images, masks, iou_t, det_t):
+        out, mutated = self.module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, masks, train=True, mutable=["batch_stats"])
+        if self.two_head:
+            iou_p, det_p = out
+            loss = (losses.mse(iou_t, iou_p)
+                    + losses.binary_crossentropy(det_t, det_p))
+        else:
+            loss = losses.mse(iou_t.reshape(out.shape), out)
+        return loss, mutated["batch_stats"]
+
+    def _train_step_impl(self, state, images, masks, iou_t, det_t):
+        def per_model(params, batch_stats, opt_state, images, masks,
+                      iou_t, det_t):
+            (l, new_bs), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                params, batch_stats, images, masks, iou_t, det_t)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_bs, opt_state,
+                    l)
+
+        params, bs, opt, l = jax.vmap(per_model)(
+            state["params"], state["batch_stats"], state["opt_state"],
+            images, masks, iou_t, det_t)
+        return dict(state, params=params, batch_stats=bs, opt_state=opt), l
+
+    def _eval_step_impl(self, params, batch_stats, images, masks, iou_t,
+                        det_t, acc):
+        def per_model(params, batch_stats):
+            out = self.module.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, masks, train=False)
+            if self.two_head:
+                iou_p, det_p = out
+                return (losses.mse(iou_t, iou_p)
+                        + losses.binary_crossentropy(det_t, det_p))
+            return losses.mae(iou_t.reshape(out.shape), out)
+
+        vals = jax.vmap(per_model)(params, batch_stats)     # (P,)
+        b = images.shape[0]
+        return {"sum": acc["sum"] + vals * b, "count": acc["count"] + b}
+
+    def _select_impl(self, state, metric):
+        better = metric < state["best_metric"]
+
+        def sel(new, old):
+            b = better.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(b, new, old)
+
+        return dict(
+            state,
+            best_params=jax.tree.map(sel, state["params"],
+                                     state["best_params"]),
+            best_batch_stats=jax.tree.map(sel, state["batch_stats"],
+                                          state["best_batch_stats"]),
+            best_metric=jnp.where(better, metric, state["best_metric"]))
+
+    # ------------------------------------------------------------------- API
+
+    def _batch_arrays(self, ds: EvalNetDataset, idx: np.ndarray):
+        iou = ds.labels[idx]
+        det = (ds.detection[idx] if ds.detection is not None
+               else np.zeros_like(np.atleast_2d(iou)))
+        return (jnp.asarray(ds.images[idx]), jnp.asarray(ds.masks[idx]),
+                jnp.asarray(iou, jnp.float32),
+                jnp.asarray(det, jnp.float32))
+
+    def evaluate(self, val_ds: EvalNetDataset, batch_size: int = 32
+                 ) -> np.ndarray:
+        acc = {"sum": jnp.zeros((self.population,)),
+               "count": jnp.zeros(())}
+        n = len(val_ds)
+        if n < batch_size:
+            batch_size = n
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = np.arange(start, start + batch_size)
+            imgs, masks, iou, det = self._batch_arrays(val_ds, idx)
+            acc = self._eval_step(self.state["params"],
+                                  self.state["batch_stats"],
+                                  imgs, masks, iou, det, acc)
+        return np.asarray(acc["sum"] / jnp.maximum(acc["count"], 1))
+
+    def fit(self, train_ds: EvalNetDataset, val_ds: EvalNetDataset, *,
+            epochs: int, batch_size: int, seed: int = 42,
+            log=print) -> np.ndarray:
+        steps = max(len(train_ds) // batch_size, 1)
+        rngs = [np.random.RandomState(seed + 1000 * p)
+                for p in range(self.population)]
+        orders = [r.permutation(len(train_ds)) for r in rngs]
+        cursors = [0] * self.population
+        history = []
+        for epoch in range(epochs):
+            t0 = time.time()
+            for _ in range(steps):
+                per_model_batches = []
+                for p in range(self.population):
+                    if cursors[p] + batch_size > len(train_ds):
+                        orders[p] = rngs[p].permutation(len(train_ds))
+                        cursors[p] = 0
+                    idx = orders[p][cursors[p]:cursors[p] + batch_size]
+                    cursors[p] += batch_size
+                    per_model_batches.append(self._batch_arrays(train_ds,
+                                                                idx))
+                imgs = jnp.stack([b[0] for b in per_model_batches])
+                masks = jnp.stack([b[1] for b in per_model_batches])
+                iou = jnp.stack([b[2] for b in per_model_batches])
+                det = jnp.stack([b[3] for b in per_model_batches])
+                self.state, _ = self._train_step(self.state, imgs, masks,
+                                                 iou, det)
+            metric = self.evaluate(val_ds, batch_size)
+            self.state = self._select(self.state, jnp.asarray(metric))
+            history.append(metric)
+            if log:
+                log(f"evalnet epoch {epoch + 1}/{epochs} val "
+                    f"{np.array2string(metric, precision=4)} "
+                    f"({time.time() - t0:.1f}s)")
+        return np.stack(history)
+
+    def best_variables(self) -> list:
+        best_p = jax.device_get(self.state["best_params"])
+        best_bs = jax.device_get(self.state["best_batch_stats"])
+        return [{"params": jax.tree.map(lambda a: a[i], best_p),
+                 "batch_stats": jax.tree.map(lambda a: a[i], best_bs)}
+                for i in range(self.population)]
+
+    def best_metrics(self) -> np.ndarray:
+        return np.asarray(self.state["best_metric"])

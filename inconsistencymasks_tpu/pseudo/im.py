@@ -1,0 +1,244 @@
+"""Inconsistency-Mask pseudo-label generation — the north-star fused path.
+
+Reference flow (functions.py:2832-2891, per image on host):
+    cv2.imread -> K separate model.predict -> threshold -> NumPy XOR ->
+    cv2.erode/dilate -> image[im>0]=0 -> cv2.imwrite
+
+Here the whole chain after imread is ONE XLA program over a batch:
+    K-model vmapped inference -> threshold/argmax -> disagreement (IM) ->
+    min/max-pool morphology -> gray-out of image and label,
+and the host only decodes inputs and encodes the output PNGs.  Output
+semantics (including the binary write filter ``predsize > im_size > 0``,
+functions.py:2878-2882, and the mean-im-size CSV statistic) match the
+reference exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional, Sequence
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import Dataset, eval_batches, list_pngs, load_images
+from ..ops import im_core, morphology
+from ..postproc.hela import get_min_dist, get_pos_contours
+from .engine import StackedEnsemble
+
+
+@partial(jax.jit, static_argnames=("erode_kernel", "dilate_kernel",
+                                   "block_input", "block_output"))
+def _fused_im_binary(probs, images, threshold, erode_kernel, dilate_kernel,
+                     block_input, block_output):
+    """probs (K,B,H,W,1), images (B,H,W,C) -> blocked image/mask/IM."""
+    masks = im_core.probs_to_binary_masks(probs, threshold)
+    out = im_core.binary_im(masks)
+    im = out.im
+    if erode_kernel > 0:
+        im = morphology.erode(im, erode_kernel)
+    if dilate_kernel > 0:
+        im = morphology.dilate(im, dilate_kernel)
+    image_b, mask_b = im_core.blockout_binary(
+        images, out.pred_mask, im, block_input, block_output)
+    return image_b, mask_b, im, out.im_size, out.pred_size
+
+
+def create_pseudo_labels_im_binary(
+        module, models: Sequence, images_dir: str, main_output_path: str, *,
+        channels: int = 3, threshold: float = 0.5, erode_kernel: int = 0,
+        dilate_kernel: int = 0, block_input: bool = True,
+        block_output: bool = True, filter_bad_predictions: bool = True,
+        batch_size: int = 32, ensemble: Optional[StackedEnsemble] = None
+) -> float:
+    """ISIC-style IM generation.  Returns mean IM size (rounded, reference
+    functions.py:2889)."""
+    ens = ensemble or StackedEnsemble(module, models)
+    ds = load_images(images_dir, channels)
+
+    for sub in ("images", "masks", "im"):
+        os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
+
+    im_sizes = {}
+    cursor = 0
+    for images, _ in eval_batches(ds, batch_size):
+        images_j = jnp.asarray(images)
+        probs = ens.predict_probs(images_j)
+        img_b, mask_b, im, im_size, pred_size = _fused_im_binary(
+            probs, images_j, threshold, erode_kernel, dilate_kernel,
+            block_input, block_output)
+        img_b = np.asarray(img_b)
+        mask_b = np.asarray(mask_b)
+        im = np.asarray(im)
+        im_size = np.asarray(im_size)
+        pred_size = np.asarray(pred_size)
+        for i in range(img_b.shape[0]):
+            name = ds.names[cursor + i]
+            im_sizes[name[:-4]] = int(im_size[i])
+            write = (pred_size[i] > im_size[i] > 0
+                     if filter_bad_predictions else True)
+            if write:
+                bgr = (cv2.cvtColor(img_b[i], cv2.COLOR_RGB2BGR)
+                       if channels == 3 else img_b[i])
+                cv2.imwrite(os.path.join(main_output_path, "images", name),
+                            bgr)
+                cv2.imwrite(os.path.join(main_output_path, "masks", name),
+                            mask_b[i, ..., 0])
+            cv2.imwrite(os.path.join(main_output_path, "im", name), im[i])
+        cursor += img_b.shape[0]
+
+    return round(sum(im_sizes.values()) / len(im_sizes), 0)
+
+
+@partial(jax.jit, static_argnames=("erode_kernel", "dilate_kernel",
+                                   "num_classes", "block_input",
+                                   "block_output"))
+def _fused_im_multiclass(probs, images, erode_kernel, dilate_kernel,
+                         num_classes, block_input, block_output):
+    class_maps = im_core.probs_to_class_maps(probs)
+    out = im_core.multiclass_im(class_maps)
+    im = out.im
+    pred = out.pred_mask
+    if erode_kernel > 0:
+        im = morphology.erode(im, erode_kernel)
+        # the reference also 3x3-dilates the pred mask when eroding the IM
+        # (functions.py:3043-3047)
+        pred = morphology.dilate_multiclass(pred.astype(jnp.int32),
+                                            num_classes).astype(jnp.uint8)
+    if dilate_kernel > 0:
+        im = morphology.dilate(im, dilate_kernel)
+    hole = im > 0
+    if block_input:
+        images = jnp.where(hole[..., None], jnp.uint8(0), images)
+    if block_output:
+        pred = jnp.where(hole, jnp.uint8(0), pred)
+    # per-model per-image class presence, for filter_unequal_class_pred
+    present = jax.vmap(lambda cm: jax.nn.one_hot(
+        cm, num_classes, dtype=jnp.int32).sum(axis=(1, 2)) > 0)(class_maps)
+    return images, pred, im, out.im_size, present
+
+
+def create_pseudo_labels_im_multiclass(
+        module, models: Sequence, images_dir: str, main_output_path: str, *,
+        num_classes: int, channels: int = 3, erode_kernel: int = 0,
+        dilate_kernel: int = 0, block_input: bool = True,
+        block_output: bool = True, filter_unequal_class_pred: bool = False,
+        batch_size: int = 32, ensemble: Optional[StackedEnsemble] = None
+) -> float:
+    """SUIM/Cityscapes IM generation (reference functions.py:2988-3070)."""
+    ens = ensemble or StackedEnsemble(module, models)
+    ds = load_images(images_dir, channels)
+
+    for sub in ("images", "masks", "im"):
+        os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
+
+    im_sizes = {}
+    cursor = 0
+    for images, _ in eval_batches(ds, batch_size):
+        images_j = jnp.asarray(images)
+        probs = ens.predict_probs(images_j)
+        img_b, pred, im, im_size, present = _fused_im_multiclass(
+            probs, images_j, erode_kernel, dilate_kernel, num_classes,
+            block_input, block_output)
+        img_b, pred, im = map(np.asarray, (img_b, pred, im))
+        im_size, present = np.asarray(im_size), np.asarray(present)
+        for i in range(img_b.shape[0]):
+            name = ds.names[cursor + i]
+            im_sizes[name[:-4]] = int(im_size[i])
+            if filter_unequal_class_pred:
+                # all models saw the same class set (functions.py:3231-3232)
+                write = bool((present[:, i] == present[0, i]).all())
+            else:
+                write = True
+            if write:
+                bgr = (cv2.cvtColor(img_b[i], cv2.COLOR_RGB2BGR)
+                       if channels == 3 else img_b[i])
+                cv2.imwrite(os.path.join(main_output_path, "images", name),
+                            bgr)
+                cv2.imwrite(os.path.join(main_output_path, "masks", name),
+                            pred[i])
+            cv2.imwrite(os.path.join(main_output_path, "im", name), im[i])
+        cursor += img_b.shape[0]
+
+    return round(sum(im_sizes.values()) / len(im_sizes), 0)
+
+
+@partial(jax.jit, static_argnames=("erode_kernel", "dilate_kernel"))
+def _fused_im_hela(probs, images, threshold, erode_kernel, dilate_kernel):
+    """probs (K,B,H,W,3) -> per-channel unanimous masks + combined IM.
+    (reference functions.py:3165-3202)."""
+    masks = (probs >= threshold).astype(jnp.uint8)  # reference uses >= here
+    out = im_core.binary_im(masks)                  # channel-wise stats
+    # per-channel unanimity: pred_mask (B,H,W,3) in {0,255}
+    alive, dead, pos_raw = (out.pred_mask[..., 0], out.pred_mask[..., 1],
+                            out.pred_mask[..., 2])
+    im = out.im
+    if erode_kernel > 0:
+        im = morphology.erode(im, erode_kernel)
+        alive = morphology.dilate(alive, 3)
+        dead = morphology.dilate(dead, 3)
+    if dilate_kernel > 0:
+        im = morphology.dilate(im, dilate_kernel)
+    return alive, dead, pos_raw, im, out.im_size
+
+
+def create_pseudo_labels_im_hela(
+        module, models: Sequence, images_dir: str, main_output_path: str, *,
+        threshold: float = 0.5, erode_kernel: int = 0, dilate_kernel: int = 0,
+        block_input: bool = True, block_output: bool = True,
+        max_pos_circle_size: int = 8, min_pos_circle_size: int = 3,
+        batch_size: int = 32, ensemble: Optional[StackedEnsemble] = None
+) -> float:
+    """HeLa IM generation (reference functions.py:2895-2984): fused
+    per-channel IM on device; position-circle redraw on host (contours)."""
+    ens = ensemble or StackedEnsemble(module, models)
+    ds = load_images(images_dir, 1)
+
+    for sub in ("brightfield", "alive", "dead", "mod_position", "im"):
+        os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
+
+    im_sizes = {}
+    cursor = 0
+    for images, _ in eval_batches(ds, batch_size):
+        images_j = jnp.asarray(images)
+        probs = ens.predict_probs(images_j)
+        alive, dead, pos_raw, im, im_size = _fused_im_hela(
+            probs, images_j, threshold, erode_kernel, dilate_kernel)
+        alive, dead, pos_raw, im = map(np.asarray, (alive, dead, pos_raw, im))
+        im_size = np.asarray(im_size)
+        h, w = alive.shape[1:3]
+        for i in range(alive.shape[0]):
+            name = ds.names[cursor + i]
+            im_sizes[name[:-4]] = int(im_size[i])
+            # position circles, radius min_dist//4 clamped (host, eval-size)
+            positions = get_pos_contours(pos_raw[i])
+            pos_mask = np.zeros((h, w, 3), np.uint8)
+            for p in positions:
+                md = (get_min_dist(p, positions) if len(positions) > 1
+                      else 99)
+                size = max(min(int(md // 4), max_pos_circle_size),
+                           min_pos_circle_size)
+                cv2.circle(pos_mask, (p[0], p[1]), size,
+                           (255, 255, 255), -1)
+            bf = images[i, ..., 0].copy()
+            a, d = alive[i].copy(), dead[i].copy()
+            hole = im[i] > 0
+            if block_input:
+                bf[hole] = 0
+            if block_output:
+                a[hole] = 0
+                d[hole] = 0
+                pos_mask[hole] = 0
+            cv2.imwrite(os.path.join(main_output_path, "brightfield", name),
+                        bf)
+            cv2.imwrite(os.path.join(main_output_path, "alive", name), a)
+            cv2.imwrite(os.path.join(main_output_path, "dead", name), d)
+            cv2.imwrite(os.path.join(main_output_path, "mod_position", name),
+                        pos_mask)
+            cv2.imwrite(os.path.join(main_output_path, "im", name), im[i])
+        cursor += alive.shape[0]
+
+    return round(sum(im_sizes.values()) / len(im_sizes), 0)

@@ -1,0 +1,193 @@
+"""Consistency-loss training (reference functions.py:367-828).
+
+Per epoch: (1) a labeled supervised pass; (2) validation with manual
+best-model keeping (min val_loss); (3) an unlabeled pass where each batch is
+randomly flipped/rotated once, then TWO independent photometric
+augmentations are predicted and pulled together with
+MSE(pred1, pred2) (functions.py:430-452); (4) validation + keep again.
+Candidates warm-start from the SAME pretrained model (the scripts load
+``subset_{runid}_topK_1`` for every candidate, reference
+ISIC_2018/05_ISIC_2018_consistency_loss.py:72-75) — population diversity
+comes from independent augmentation randomness per candidate.
+
+TPU design: both passes are single fused programs vmapped over the
+population; the two augmented views and the consistency gradient are
+computed on device.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.loader import Dataset, eval_batches, stream_batches
+from ..ops import augment, losses
+from .optim import adamw_decoupled
+
+
+class ConsistencyTrainer:
+    def __init__(self, module, stacked_variables, *, loss: str,
+                 learning_rate: float, weight_decay: float,
+                 num_classes: int = 1,
+                 aug_params: Optional[augment.AugmentParams] = None):
+        self.module = module
+        self.num_classes = num_classes
+        self.loss_name = loss
+        self.aug_params = aug_params or augment.AugmentParams()
+        self.tx = adamw_decoupled(learning_rate, weight_decay)
+        self.population = jax.tree.leaves(stacked_variables)[0].shape[0]
+        params = stacked_variables["params"]
+        batch_stats = stacked_variables.get("batch_stats", {})
+        self.state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": jax.vmap(self.tx.init)(params),
+            "best_params": jax.tree.map(jnp.copy, params),
+            "best_batch_stats": jax.tree.map(jnp.copy, batch_stats),
+            "best_metric": jnp.full((self.population,), jnp.inf),
+        }
+        self._sup_step = jax.jit(self._sup_step_impl, donate_argnums=0)
+        self._cons_step = jax.jit(self._cons_step_impl, donate_argnums=0)
+        self._val_step = jax.jit(self._val_step_impl)
+        self._select = jax.jit(self._select_impl, donate_argnums=0)
+
+    def _loss(self, probs, targets):
+        if self.loss_name == "mse":
+            return losses.mse(targets, probs)
+        onehot = jax.nn.one_hot(targets, self.num_classes,
+                                dtype=jnp.float32)
+        return losses.categorical_crossentropy(onehot, probs)
+
+    def _sup_step_impl(self, state, images, targets):
+        def per_model(params, batch_stats, opt_state):
+            def loss_fn(p):
+                probs, mut = self.module.apply(
+                    {"params": p, "batch_stats": batch_stats}, images,
+                    train=True, mutable=["batch_stats"])
+                return self._loss(probs, targets), mut["batch_stats"]
+
+            (l, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), bs, opt_state, l
+
+        p, bs, o, l = jax.vmap(per_model)(state["params"],
+                                          state["batch_stats"],
+                                          state["opt_state"])
+        return dict(state, params=p, batch_stats=bs, opt_state=o), l
+
+    def _cons_step_impl(self, state, images, rng):
+        # one shared flip/rot of the batch, then two independent
+        # photometric views PER CANDIDATE
+        k_geo, k_views = jax.random.split(rng)
+        flipped = augment.random_flip_and_rotation(k_geo, images)
+        cand_keys = jax.random.split(k_views, self.population)
+
+        def per_model(params, batch_stats, opt_state, key):
+            k1, k2 = jax.random.split(key)
+            v1 = augment.photometric(k1, flipped, self.aug_params,
+                                     brightness_first=False)
+            v2 = augment.photometric(k2, flipped, self.aug_params,
+                                     brightness_first=False)
+
+            def loss_fn(p):
+                p1, mut = self.module.apply(
+                    {"params": p, "batch_stats": batch_stats}, v1,
+                    train=True, mutable=["batch_stats"])
+                p2, mut2 = self.module.apply(
+                    {"params": p, "batch_stats": mut["batch_stats"]}, v2,
+                    train=True, mutable=["batch_stats"])
+                return losses.consistency_mse(p1, p2), mut2["batch_stats"]
+
+            (l, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), bs, opt_state, l
+
+        p, bs, o, l = jax.vmap(per_model)(state["params"],
+                                          state["batch_stats"],
+                                          state["opt_state"], cand_keys)
+        return dict(state, params=p, batch_stats=bs, opt_state=o), l
+
+    def _val_step_impl(self, params, batch_stats, images, targets, acc):
+        def per_model(params, batch_stats):
+            probs = self.module.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False)
+            return self._loss(probs, targets)
+
+        vals = jax.vmap(per_model)(params, batch_stats)
+        b = images.shape[0]
+        return {"sum": acc["sum"] + vals * b, "count": acc["count"] + b}
+
+    def _select_impl(self, state, metric):
+        better = metric < state["best_metric"]
+
+        def sel(new, old):
+            b = better.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(b, new, old)
+
+        return dict(
+            state,
+            best_params=jax.tree.map(sel, state["params"],
+                                     state["best_params"]),
+            best_batch_stats=jax.tree.map(sel, state["batch_stats"],
+                                          state["best_batch_stats"]),
+            best_metric=jnp.where(better, metric, state["best_metric"]))
+
+    def _validate_and_keep(self, val_ds, batch_size):
+        acc = {"sum": jnp.zeros((self.population,)), "count": jnp.zeros(())}
+        for images, targets in eval_batches(val_ds, batch_size):
+            acc = self._val_step(self.state["params"],
+                                 self.state["batch_stats"],
+                                 jnp.asarray(images), jnp.asarray(targets),
+                                 acc)
+        metric = acc["sum"] / jnp.maximum(acc["count"], 1)
+        self.state = self._select(self.state, metric)
+        return np.asarray(metric)
+
+    def fit(self, labeled_ds: Dataset, unlabeled_ds: Dataset,
+            val_ds: Dataset, *, epochs: int, batch_size: int,
+            validation_frequency: int = 1, seed: int = 42,
+            log=print) -> np.ndarray:
+        lab_stream = stream_batches(labeled_ds, batch_size, seed)
+        unl_stream = stream_batches(unlabeled_ds, batch_size, seed + 1)
+        lab_steps = max(len(labeled_ds) // batch_size, 1)
+        unl_steps = max(len(unlabeled_ds) // batch_size, 1)
+        key = jax.random.PRNGKey(seed)
+        history = []
+        for epoch in range(epochs):
+            t0 = time.time()
+            for _ in range(lab_steps):
+                images, targets = next(lab_stream)
+                self.state, _ = self._sup_step(self.state,
+                                               jnp.asarray(images),
+                                               jnp.asarray(targets))
+            if epoch % validation_frequency == 0:
+                self._validate_and_keep(val_ds, batch_size)
+            for _ in range(unl_steps):
+                images, _ = next(unl_stream)
+                key, k = jax.random.split(key)
+                self.state, _ = self._cons_step(self.state,
+                                                jnp.asarray(images), k)
+            if epoch % validation_frequency == 0:
+                metric = self._validate_and_keep(val_ds, batch_size)
+                history.append(metric)
+                if log:
+                    log(f"cs epoch {epoch + 1}/{epochs} val_loss "
+                        f"{np.array2string(metric, precision=4)} "
+                        f"({time.time() - t0:.1f}s)")
+        return np.stack(history) if history else np.zeros((0,
+                                                           self.population))
+
+    def best_variables(self) -> list:
+        bp = jax.device_get(self.state["best_params"])
+        bb = jax.device_get(self.state["best_batch_stats"])
+        return [{"params": jax.tree.map(lambda a: a[i], bp),
+                 "batch_stats": jax.tree.map(lambda a: a[i], bb)}
+                for i in range(self.population)]

@@ -1,0 +1,279 @@
+"""Population trainer — K candidate models trained simultaneously.
+
+The reference trains 5-10 candidate U-Nets one-by-one per runid with
+``clear_session()`` between (reference ISIC_2018/03_ISIC_2018_subset.py:48-79)
+and selects the top-K by validation metric via Keras
+``ModelCheckpoint(save_best_only=True)`` + post-hoc sort (functions.py:217,
+03:82-93).  This is the reference's real parallelism axis (SURVEY.md 2.3:
+model-population parallelism), so the TPU rebuild makes it a *vmapped
+leading axis*: one XLA program trains the whole population, every conv
+becoming a K-times-larger batched conv on the MXU.  All candidates consume
+the SAME batch stream (parity: the reference seeds tf.data identically per
+candidate, functions.py:208); diversity comes from per-candidate init seeds.
+
+Keras-semantics parity:
+- per-epoch validation with best-weights keeping per candidate
+  (``save_best_only`` on the monitored metric, strict improvement);
+- monitors: ``binary_iou`` (BinaryIoU target class 1, max — ISIC,
+  functions.py:217), ``loss`` (val_loss, min — HeLa, functions.py:257),
+  ``soft_mean_iou`` (custom streaming soft MeanIoU, max — multiclass,
+  functions.py:305);
+- AdamW with tfa decoupled decay (optim.py).
+
+Data parallelism: pass a ``jax.sharding.Mesh`` with a ``data`` axis and the
+batch is sharded across it (params/optimizer replicated); XLA turns the BN
+batch statistics into cross-device reductions automatically, so the global
+batch-32 semantics match the reference's single-device batch 32 exactly.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.loader import Dataset, eval_batches, stream_batches
+from ..ops import losses
+from .optim import adamw_decoupled
+
+
+@dataclass(frozen=True)
+class Monitor:
+    kind: str          # 'binary_iou' | 'loss' | 'soft_mean_iou'
+    mode: str          # 'max' | 'min'
+
+    @classmethod
+    def isic(cls):
+        return cls("binary_iou", "max")
+
+    @classmethod
+    def hela(cls):
+        return cls("loss", "min")
+
+    @classmethod
+    def multiclass(cls):
+        return cls("soft_mean_iou", "max")
+
+
+def _resolve_loss(name: str, num_classes: int) -> Callable:
+    if name == "mse":
+        return lambda probs, tgt: losses.mse(tgt, probs)
+    if name == "cce":
+        def cce(probs, tgt):
+            onehot = jax.nn.one_hot(tgt, num_classes, dtype=jnp.float32)
+            return losses.categorical_crossentropy(onehot, probs)
+        return cce
+    raise ValueError(f"unknown loss {name!r} (use 'mse' or 'cce')")
+
+
+class PopulationTrainer:
+    """Trains a population of identical-architecture models on one stream."""
+
+    def __init__(self, module, stacked_variables, *, loss: str,
+                 monitor: Monitor, learning_rate: float, weight_decay: float,
+                 num_classes: int = 1, mesh: Optional[Mesh] = None):
+        self.module = module
+        self.monitor = monitor
+        self.num_classes = num_classes
+        self.loss_fn = _resolve_loss(loss, num_classes)
+        self.tx = adamw_decoupled(learning_rate, weight_decay)
+        self.mesh = mesh
+
+        self.population = jax.tree.leaves(stacked_variables)[0].shape[0]
+        params = stacked_variables["params"]
+        batch_stats = stacked_variables.get("batch_stats", {})
+        opt_state = jax.vmap(self.tx.init)(params)
+        init_metric = jnp.full((self.population,),
+                               -jnp.inf if monitor.mode == "max" else jnp.inf)
+        # best_* must be distinct buffers: the train step donates its input
+        # state, and aliased leaves would be donated twice.
+        self.state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": opt_state,
+            "best_params": jax.tree.map(jnp.copy, params),
+            "best_batch_stats": jax.tree.map(jnp.copy, batch_stats),
+            "best_metric": init_metric,
+        }
+
+        if mesh is not None:
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._replicated = NamedSharding(mesh, P())
+            self.state = jax.device_put(self.state, self._replicated)
+        else:
+            self._batch_sharding = None
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._select_best = jax.jit(self._select_best_impl, donate_argnums=0)
+
+    # ------------------------------------------------------------------ steps
+
+    def _apply_train(self, params, batch_stats, images, targets):
+        probs, mutated = self.module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=True, mutable=["batch_stats"])
+        return self.loss_fn(probs, targets), mutated["batch_stats"]
+
+    def _train_step_impl(self, state, images, targets):
+        def per_model(params, batch_stats, opt_state):
+            (loss_val, new_bs), grads = jax.value_and_grad(
+                self._apply_train, has_aux=True)(
+                    params, batch_stats, images, targets)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_bs, opt_state, loss_val
+
+        params, batch_stats, opt_state, loss_val = jax.vmap(per_model)(
+            state["params"], state["batch_stats"], state["opt_state"])
+        state = dict(state, params=params, batch_stats=batch_stats,
+                     opt_state=opt_state)
+        return state, loss_val
+
+    def _forward_eval(self, params, batch_stats, images):
+        return self.module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=False)
+
+    def _eval_step_impl(self, params, batch_stats, images, targets, acc):
+        """Accumulate the monitored metric over one val batch; acc is a dict
+        of (P,)-shaped accumulators."""
+        probs = jax.vmap(self._forward_eval, in_axes=(0, 0, None))(
+            params, batch_stats, images)          # (P, B, H, W, C)
+
+        kind = self.monitor.kind
+        if kind == "binary_iou":
+            t = targets.astype(jnp.float32) > 0.5       # (B,H,W,1)
+            p = probs > 0.5
+            inter = jnp.sum(jnp.logical_and(t[None], p), axis=(1, 2, 3, 4))
+            union = jnp.sum(jnp.logical_or(t[None], p), axis=(1, 2, 3, 4))
+            return {"intersection": acc["intersection"] + inter,
+                    "union": acc["union"] + union}
+        if kind == "loss":
+            per = jax.vmap(lambda pr: self.loss_fn(pr, targets))(probs)
+            b = images.shape[0]
+            return {"loss_sum": acc["loss_sum"] + per * b,
+                    "count": acc["count"] + b}
+        if kind == "soft_mean_iou":
+            onehot = jax.nn.one_hot(targets, self.num_classes,
+                                    dtype=jnp.float32)
+            inter = jnp.sum(onehot[None] * probs, axis=(1, 2, 3))   # (P,C)
+            union = (jnp.sum(onehot, axis=(0, 1, 2))[None]
+                     + jnp.sum(probs, axis=(1, 2, 3)) - inter)
+            iou = jnp.mean(inter / union, axis=-1)                   # (P,)
+            return {"total_iou": acc["total_iou"] + iou,
+                    "count": acc["count"] + 1.0}
+        raise ValueError(kind)
+
+    def _metric_result(self, acc):
+        kind = self.monitor.kind
+        if kind == "binary_iou":
+            return acc["intersection"] / jnp.maximum(acc["union"], 1e-9)
+        if kind == "loss":
+            return acc["loss_sum"] / acc["count"]
+        return acc["total_iou"] / acc["count"]
+
+    def _zero_acc(self):
+        z = lambda: jnp.zeros((self.population,), jnp.float32)
+        if self.monitor.kind == "binary_iou":
+            return {"intersection": z(), "union": z()}
+        if self.monitor.kind == "loss":
+            return {"loss_sum": z(), "count": z()}
+        return {"total_iou": z(), "count": z()}
+
+    def _select_best_impl(self, state, metric):
+        if self.monitor.mode == "max":
+            better = metric > state["best_metric"]
+        else:
+            better = metric < state["best_metric"]
+
+        def sel(new, old):
+            b = better.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(b, new, old)
+
+        return dict(
+            state,
+            best_params=jax.tree.map(sel, state["params"],
+                                     state["best_params"]),
+            best_batch_stats=jax.tree.map(sel, state["batch_stats"],
+                                          state["best_batch_stats"]),
+            best_metric=jnp.where(better, metric, state["best_metric"]),
+        )
+
+    # ------------------------------------------------------------------- API
+
+    def _put_batch(self, images, targets):
+        images = jnp.asarray(images)
+        targets = None if targets is None else jnp.asarray(targets)
+        if self._batch_sharding is not None:
+            # Shard over the data axis when the batch divides the mesh;
+            # replicate otherwise (remainder validation batches).
+            n_dev = self.mesh.devices.size
+            sh = (self._batch_sharding if images.shape[0] % n_dev == 0
+                  else self._replicated)
+            images = jax.device_put(images, sh)
+            if targets is not None:
+                targets = jax.device_put(targets, sh)
+        return images, targets
+
+    def evaluate(self, val_ds: Dataset, batch_size: int = 32) -> np.ndarray:
+        """Monitored metric per candidate over the validation set."""
+        acc = self._zero_acc()
+        for images, targets in eval_batches(val_ds, batch_size):
+            images, targets = self._put_batch(images, targets)
+            acc = self._eval_step(self.state["params"],
+                                  self.state["batch_stats"],
+                                  images, targets, acc)
+        return np.asarray(self._metric_result(acc))
+
+    def fit(self, train_ds: Dataset, val_ds: Dataset, *, epochs: int,
+            batch_size: int, steps_per_epoch: Optional[int] = None,
+            seed: int = 42, log: Optional[Callable[[str], None]] = print):
+        """Keras ``fit``-equivalent: epochs x steps_per_epoch over an
+        infinite reshuffling stream, per-epoch validation, best-weights
+        keeping.  Returns the per-epoch metric history (epochs, P)."""
+        if steps_per_epoch is None:
+            steps_per_epoch = max(len(train_ds) // batch_size, 1)
+        stream = stream_batches(train_ds, batch_size, seed)
+        history = []
+        for epoch in range(epochs):
+            t0 = time.time()
+            running = 0.0
+            for _ in range(steps_per_epoch):
+                images, targets = next(stream)
+                images, targets = self._put_batch(images, targets)
+                self.state, loss_val = self._train_step(self.state, images,
+                                                        targets)
+                running += float(jnp.mean(loss_val))
+            metric = self.evaluate(val_ds, batch_size)
+            self.state = self._select_best(self.state, jnp.asarray(metric))
+            history.append(metric)
+            if log:
+                log(f"epoch {epoch + 1}/{epochs} "
+                    f"loss {running / steps_per_epoch:.4f} "
+                    f"val_{self.monitor.kind} "
+                    f"{np.array2string(metric, precision=4)} "
+                    f"({time.time() - t0:.1f}s)")
+        return np.stack(history)
+
+    def best_variables(self) -> list:
+        """Per-candidate best-epoch variables (Keras reload-best parity)."""
+        best_p = jax.device_get(self.state["best_params"])
+        best_bs = jax.device_get(self.state["best_batch_stats"])
+        out = []
+        for i in range(self.population):
+            out.append({
+                "params": jax.tree.map(lambda a: a[i], best_p),
+                "batch_stats": jax.tree.map(lambda a: a[i], best_bs),
+            })
+        return out
+
+    def best_metrics(self) -> np.ndarray:
+        return np.asarray(self.state["best_metric"])

@@ -1,0 +1,182 @@
+"""High-level training workflows — the "grid cell" every pipeline script
+runs: train a population of candidates, benchmark each best-epoch model on
+val/test/unlabeled, save ``{modelname}_{i}.h5``, rank, rename the top-K to
+``{modelname}_topK_{i}.h5``, and return the CSV rows.
+
+The reference runs this cell serially per candidate (e.g.
+ISIC_2018/03_ISIC_2018_subset.py:43-104); here the population trains as one
+vmapped program (train/trainer.py) and only the benchmarks loop per
+candidate.
+
+Ranking parity (the part that decides which models seed the next
+generation):
+- ISIC/binary: sort by benchmark mIoU_val desc (03:82);
+- HeLa: sort by mcce_test ASC — the reference keys on x[6] = cell-count
+  error on TEST (HeLa/03_HeLa_subset.py:82);
+- multiclass: sort by mIoU_val desc (SUIM/04_SUIM_subset.py:84, x[4]).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+from jax.sharding import Mesh
+
+from .config import DatasetConfig
+from .data.loader import Dataset
+from .evaluate.benchmark import (benchmark_binary, benchmark_hela,
+                                 benchmark_multiclass)
+from .models.unet import UNet
+from .train.checkpoint import save_variables
+from .train.population import init_population
+from .train.trainer import Monitor, PopulationTrainer
+from .utils.csv_io import write_results_csv
+
+BINARY_HEADER = ["modelname", "mIoU_val", "mIoU_test", "mIoU_train_unlabeled",
+                 "dice_score_val", "dice_score_test",
+                 "dice_score_train_unlabeled"]
+HELA_HEADER = ["modelname", "mIoU_val", "mIoU_ad_val", "mcce_val",
+               "mIoU_test", "mIoU_ad_test", "mcce_test", "mIoU_unlabeled",
+               "mIoU_ad_unlabeled", "mcce_unlabeled"]
+MULTICLASS_HEADER = ["modelname", "mPA_val", "mPA_test", "mPA_train_unlabeled",
+                     "mIoU_val", "mIoU_test", "mIoU_train_unlabeled"]
+
+
+@dataclass
+class GridCellResult:
+    rows: list                      # CSV rows, candidate order
+    ranked_rows: list               # rows sorted by the selection key
+    best_variables: list            # per-candidate best-epoch variables
+    header: list = field(default_factory=list)
+
+
+def make_unet(cfg: DatasetConfig, alpha: Optional[float] = None,
+              dropout: float = 0.0) -> UNet:
+    return UNet(
+        num_classes=cfg.num_classes,
+        alpha=cfg.alpha if alpha is None else alpha,
+        activation=cfg.actifu,
+        out_activation=cfg.actifu_output,
+        dropout_rate_encoder=dropout,
+        dropout_rate_decoder=dropout,
+    )
+
+
+def _sort_spec(kind: str):
+    if kind == "binary":
+        return 1, True        # mIoU_val desc
+    if kind == "hela":
+        return 6, False       # mcce_test asc (reference HeLa/03:82)
+    if kind == "multiclass":
+        return 4, True        # mIoU_val desc
+    raise ValueError(kind)
+
+
+def run_grid_cell(
+    *,
+    kind: str,                       # 'binary' | 'hela' | 'multiclass'
+    cfg: DatasetConfig,
+    module: UNet,
+    train_ds: Dataset,
+    val_ds: Dataset,
+    test_ds: Dataset,
+    unlabeled_ds: Dataset,
+    modelname: str,
+    model_dir: str,
+    csv_dir: str,
+    pred_dir_fn: Callable[[str, str], str],  # (split, modelname_i) -> dir
+    population: int,
+    epochs: Optional[int] = None,
+    steps_per_epoch: Optional[int] = None,
+    base_seed: int = 0,
+    mesh: Optional[Mesh] = None,
+    initial_variables=None,          # warm start (noisy student / IM+)
+    class_to_color: Optional[dict] = None,
+    write_csv: bool = True,
+    create_pred_images: bool = True,
+    log=print,
+) -> GridCellResult:
+    d = cfg.defaults
+    epochs = d.num_epochs if epochs is None else epochs
+
+    if initial_variables is None:
+        stacked = init_population(module, cfg.image_height, cfg.image_width,
+                                  cfg.image_channels, population, base_seed)
+    else:
+        stacked = initial_variables
+
+    monitor = {"binary": Monitor.isic(), "hela": Monitor.hela(),
+               "multiclass": Monitor.multiclass()}[kind]
+    loss = "cce" if kind == "multiclass" else "mse"
+
+    trainer = PopulationTrainer(
+        module, stacked, loss=loss, monitor=monitor,
+        learning_rate=d.lr, weight_decay=d.wd,
+        num_classes=cfg.num_classes, mesh=mesh)
+    trainer.fit(train_ds, val_ds, epochs=epochs, batch_size=d.batch_size,
+                steps_per_epoch=steps_per_epoch, seed=d.seed,
+                log=(lambda m: log(f"[{modelname}] {m}")) if log else None)
+
+    best = trainer.best_variables()
+    rows = []
+    for i, variables in enumerate(best):
+        mn = f"{modelname}_{i}"
+        save_variables(os.path.join(model_dir, f"{mn}.h5"), variables,
+                       {"modelname": mn, "module": repr(module)})
+        if kind == "binary":
+            r = [mn]
+            for split, ds in (("val", val_ds), ("test", test_ds),
+                              ("unlabeled", unlabeled_ds)):
+                miou, dice = benchmark_binary(
+                    module, variables, ds,
+                    pred_dir=pred_dir_fn(split, mn),
+                    create_images=create_pred_images)
+                r.append((miou, dice))
+            mious, dices = zip(*r[1:])
+            rows.append((mn, *mious, *dices))
+        elif kind == "hela":
+            r = [mn]
+            for split, ds in (("val", val_ds), ("test", test_ds),
+                              ("unlabeled", unlabeled_ds)):
+                r.append(benchmark_hela(
+                    module, variables, ds,
+                    pred_dir=pred_dir_fn(split, mn),
+                    save_output=create_pred_images))
+            rows.append((mn, *r[1], *r[2], *r[3]))
+        else:
+            r = [mn]
+            for split, ds in (("val", val_ds), ("test", test_ds),
+                              ("unlabeled", unlabeled_ds)):
+                r.append(benchmark_multiclass(
+                    module, variables, ds, num_classes=cfg.num_classes,
+                    class_to_color=class_to_color or {},
+                    pred_dir=pred_dir_fn(split, mn),
+                    create_images=create_pred_images))
+            (mpa_v, miou_v), (mpa_t, miou_t), (mpa_u, miou_u) = r[1:]
+            rows.append((mn, mpa_v, mpa_t, mpa_u, miou_v, miou_t, miou_u))
+        if log:
+            log(f"[{modelname}] candidate {i}: {rows[-1][1:]}")
+
+    key_idx, desc = _sort_spec(kind)
+    order = sorted(range(len(rows)), key=lambda i: rows[i][key_idx],
+                   reverse=desc)
+    ranked_rows = [rows[i] for i in order]
+
+    # topK rename protocol (reference 03:89-93)
+    for rank, idx in enumerate(order[:d.top_ks], start=1):
+        old = os.path.join(model_dir, f"{rows[idx][0]}.h5")
+        new = os.path.join(model_dir, f"{modelname}_topK_{rank}.h5")
+        os.replace(old, new)
+
+    header = {"binary": BINARY_HEADER, "hela": HELA_HEADER,
+              "multiclass": MULTICLASS_HEADER}[kind]
+    if write_csv:
+        write_results_csv(os.path.join(csv_dir, f"results_{modelname}.csv"),
+                          header, rows)
+
+    return GridCellResult(rows=rows, ranked_rows=ranked_rows,
+                          best_variables=[best[i] for i in order],
+                          header=header)

@@ -1,14 +1,21 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
 multi-chip sharding paths are exercised without TPU hardware
-(SURVEY.md section 4: xla_force_host_platform_device_count strategy)."""
+(SURVEY.md section 4: xla_force_host_platform_device_count strategy).
+
+NOTE this environment's sitecustomize registers an `axon` TPU platform and
+overrides JAX_PLATFORMS, so plain env vars are NOT enough — we must call
+jax.config.update after import (before first backend use)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

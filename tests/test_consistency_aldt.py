@@ -1,0 +1,61 @@
+"""Consistency-loss trainer + ALDT augmenter tests."""
+
+import os
+
+import numpy as np
+
+from inconsistencymasks_tpu.data.loader import (list_pngs, load_images,
+                                                load_image_mask_dataset)
+from inconsistencymasks_tpu.data.synthetic import (make_binary_dataset,
+                                                   make_hela_dataset)
+from inconsistencymasks_tpu.models.unet import UNet
+from inconsistencymasks_tpu.pseudo.aldt import (
+    create_augment_images_and_masks_binary,
+    create_augment_images_and_masks_hela)
+from inconsistencymasks_tpu.train.consistency import ConsistencyTrainer
+from inconsistencymasks_tpu.train.population import init_population
+
+
+def test_consistency_trainer(tmp_path):
+    make_binary_dataset(str(tmp_path), h=32, w=32, n_labeled=8, n_val=4,
+                        n_unlabeled=8)
+    labeled = load_image_mask_dataset(
+        str(tmp_path / "train_labeled" / "images"))
+    unlabeled = load_images(str(tmp_path / "train_unlabeled" / "images"))
+    val = load_image_mask_dataset(str(tmp_path / "val" / "images"))
+    m = UNet(num_classes=1, alpha=0.25, activation="relu",
+             out_activation="sigmoid")
+    tr = ConsistencyTrainer(m, init_population(m, 32, 32, 3, 2),
+                            loss="mse", learning_rate=3e-3,
+                            weight_decay=1e-4)
+    hist = tr.fit(labeled, unlabeled, val, epochs=2, batch_size=4, log=None)
+    assert hist.shape == (2, 2)
+    assert np.all(np.isfinite(hist))
+    # keeper keeps the minimum over both validation points per epoch
+    assert np.all(tr.state["best_metric"] <= hist.min(axis=0) + 1e-6)
+    assert len(tr.best_variables()) == 2
+
+
+def test_aldt_binary(tmp_path):
+    make_binary_dataset(str(tmp_path / "d"), h=32, w=32, n_labeled=4)
+    out = str(tmp_path / "aug")
+    create_augment_images_and_masks_binary(
+        str(tmp_path / "d" / "train_labeled" / "images"),
+        str(tmp_path / "d" / "train_labeled" / "masks"), out,
+        num_images=3, batch_size=2)
+    # 4 originals + 4*3 augmented
+    assert len(list_pngs(os.path.join(out, "images"))) == 16
+    assert len(list_pngs(os.path.join(out, "masks"))) == 16
+    aug_names = [n for n in list_pngs(os.path.join(out, "images"))
+                 if "_aug_" in n]
+    assert len(aug_names) == 12
+
+
+def test_aldt_hela(tmp_path):
+    make_hela_dataset(str(tmp_path / "d"), h=32, w=32, n_labeled=3)
+    out = str(tmp_path / "aug")
+    create_augment_images_and_masks_hela(
+        str(tmp_path / "d" / "train_labeled"), out, num_images=2,
+        batch_size=2)
+    for chan in ("brightfield", "alive", "dead", "mod_position"):
+        assert len(list_pngs(os.path.join(out, chan))) == 9  # 3 + 3*2

@@ -1,0 +1,136 @@
+"""EvalNet pipeline end-to-end: datagen -> train -> filter -> adaptive aug.
+EvalNet needs >=64 px inputs (6 maxpools)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from inconsistencymasks_tpu.data.loader import (list_pngs,
+                                                load_image_mask_dataset)
+from inconsistencymasks_tpu.data.synthetic import make_binary_dataset
+from inconsistencymasks_tpu.evalnet_pipeline import (
+    EvalNetTrainer, create_augment_images_and_masks_with_evalnet_binary,
+    create_augment_images_and_masks_with_gt,
+    create_training_data_evalnet_binary,
+    create_training_data_evalnet_im_binary,
+    create_training_data_for_segnet_binary, load_evalnet_dataset_binary)
+from inconsistencymasks_tpu.evalnet_pipeline.adaptive_aug import \
+    num_augs_from_score
+from inconsistencymasks_tpu.evaluate.benchmark import benchmark_binary
+from inconsistencymasks_tpu.models.evalnet import EvalNet
+from inconsistencymasks_tpu.models.unet import UNet
+from inconsistencymasks_tpu.train.checkpoint import unstack_variables
+from inconsistencymasks_tpu.train.population import (init_population,
+                                                     init_population_evalnet)
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("evalnet"))
+    make_binary_dataset(tmp, h=64, w=64, n_labeled=6, n_val=4, n_unlabeled=4)
+    unet = UNet(num_classes=1, alpha=0.25, activation="relu",
+                out_activation="sigmoid")
+    teachers = unstack_variables(init_population(unet, 64, 64, 3, 4), 4)
+    return tmp, unet, teachers
+
+
+def test_num_augs_interpolation():
+    """The 1..5 linear rule (reference functions.py:5742-5751)."""
+    assert num_augs_from_score(0.80, 0.5, 0.75) == 5
+    assert num_augs_from_score(0.40, 0.5, 0.75) == 1
+    assert num_augs_from_score(0.52, 0.5, 0.75) == 1
+    assert num_augs_from_score(0.62, 0.5, 0.75) == 3
+    assert num_augs_from_score(0.74, 0.5, 0.75) == 5
+
+
+def test_checkpoint_datagen_naming(pipeline):
+    tmp, unet, teachers = pipeline
+    out = os.path.join(tmp, "dg")
+    create_training_data_evalnet_binary(
+        unet, teachers[0], os.path.join(tmp, "train_labeled", "images"),
+        os.path.join(tmp, "train_labeled", "masks"), out, i=0, batch_size=3)
+    masks = list_pngs(os.path.join(out, "masks"))
+    # 6 predictions named ___0 + 6 copied GT pairs
+    assert sum("___0" in n for n in masks) == 6
+    assert len(masks) == 12
+    labels = open(os.path.join(out, "labels.csv")).read().splitlines()
+    assert len(labels) == 12
+    assert any(";1.0" in l for l in labels)  # GT rows labelled 1.0
+
+
+def test_full_pipeline(pipeline):
+    tmp, unet, teachers = pipeline
+    tr_dir, va_dir = os.path.join(tmp, "ev_tr"), os.path.join(tmp, "ev_va")
+    create_training_data_evalnet_im_binary(
+        unet, teachers, os.path.join(tmp, "train_labeled", "images"),
+        os.path.join(tmp, "train_labeled", "masks"), tr_dir, num_loops=2,
+        batch_size=3)
+    create_training_data_evalnet_im_binary(
+        unet, teachers, os.path.join(tmp, "val", "images"),
+        os.path.join(tmp, "val", "masks"), va_dir, num_loops=1,
+        batch_size=2)
+    assert len(list_pngs(os.path.join(tr_dir, "masks"))) == 12
+
+    ev = EvalNet(alpha=0.5, activation="relu")
+    ev_vars = init_population_evalnet(ev, 64, 64, 3, 1, population=2,
+                                      identical=True)
+    trainer = EvalNetTrainer(ev, ev_vars, two_head=False,
+                             learning_rate=3e-3, weight_decay=1e-4)
+    trainer.fit(load_evalnet_dataset_binary(tr_dir),
+                load_evalnet_dataset_binary(va_dir), epochs=2, batch_size=4,
+                log=None)
+    assert np.all(np.isfinite(trainer.best_metrics()))
+
+    unl = load_image_mask_dataset(os.path.join(tmp, "train_unlabeled",
+                                               "images"))
+    pred_dirs = []
+    for i in range(2):
+        d = os.path.join(tmp, f"preds_{i}")
+        benchmark_binary(unet, teachers[i], unl, pred_dir=d)
+        pred_dirs.append(d)
+
+    best_evs = trainer.best_variables()
+    n_acc = create_training_data_for_segnet_binary(
+        ev, best_evs, os.path.join(tmp, "train_unlabeled", "images"),
+        pred_dirs, os.path.join(tmp, "segnet"), threshold=0.0, batch_size=2)
+    assert n_acc == 4  # threshold 0 accepts everything
+
+    n_rej = create_training_data_for_segnet_binary(
+        ev, best_evs, os.path.join(tmp, "train_unlabeled", "images"),
+        pred_dirs, os.path.join(tmp, "segnet_hi"), threshold=1.1,
+        batch_size=2)
+    assert n_rej == 0  # threshold > 1 rejects everything (sigmoid scores)
+
+    create_augment_images_and_masks_with_evalnet_binary(
+        ev, best_evs, os.path.join(tmp, "segnet"),
+        os.path.join(tmp, "segnet_aug"), min_threshold=0.3,
+        max_threshold=0.7, batch_size=2)
+    n_out = len(list_pngs(os.path.join(tmp, "segnet_aug", "images")))
+    assert 4 <= n_out <= 20  # 1..5 copies per accepted image
+
+
+def test_gt_oracle_aug(pipeline, tmp_path):
+    """GT-IM++ oracle scores by true IoU (multiclass path, binary-ish gt)."""
+    tmp, unet, teachers = pipeline
+    # reuse segnet output from test_full_pipeline ordering not guaranteed;
+    # build a tiny input set instead
+    import cv2
+    src = str(tmp_path / "in")
+    gtd = str(tmp_path / "gt")
+    os.makedirs(os.path.join(src, "images"))
+    os.makedirs(os.path.join(src, "masks"))
+    os.makedirs(gtd)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+        mask = rng.randint(0, 3, (64, 64)).astype(np.uint8)
+        cv2.imwrite(os.path.join(src, "images", f"x{i}.png"), img)
+        cv2.imwrite(os.path.join(src, "masks", f"x{i}.png"), mask)
+        cv2.imwrite(os.path.join(gtd, f"x{i}.png"), mask)  # perfect pred
+    out = str(tmp_path / "out")
+    create_augment_images_and_masks_with_gt(
+        src, gtd, out, num_classes=3, min_threshold=0.3, max_threshold=0.7,
+        batch_size=2)
+    # perfect IoU -> 5 copies each
+    assert len(list_pngs(os.path.join(out, "images"))) == 15
