@@ -1,0 +1,139 @@
+"""Benchmark: the north-star fused IM pseudo-label generation path.
+
+Measures, on the flagship config (ISIC 2018: U-Net alpha 0.5, 256x256x3,
+two-model Inconsistency Mask, reference 09_ISIC_2018_IM.py semantics):
+
+1. ``fused``   — this framework's path: ONE XLA program per batch doing
+   2-model batched inference -> threshold -> XOR disagreement -> dilate ->
+   gray-out (pseudo/im.py without the PNG writes).
+2. ``baseline`` — the reference's structure measured on the SAME chip: per
+   image, K separate synchronous single-image predicts (the reference calls
+   ``model.predict([image])`` per model per image, functions.py:3155-3158)
+   followed by host NumPy XOR/threshold (functions.py:3104-3120) and cv2
+   morphology + blockout (functions.py:2858-2874).
+
+Timing methodology: this environment reaches the TPU through a relay whose
+device->host transfers are pathologically slow and whose block_until_ready
+does not await remote completion, so (a) fused iterations are made
+DATA-DEPENDENT (each batch's blocked-image output feeds the next call) and
+the chain is fenced by one scalar fetch — per-iteration time is the slope
+between a 4-chain and a 20-chain; (b) the baseline's per-predict host sync
+is a scalar fetch (predict() is synchronous) and its host post-processing
+runs on representative local arrays, i.e. the baseline is NOT charged the
+relay's mask-download cost.  Both measures therefore reflect compute +
+dispatch structure, not relay artifacts.
+
+Prints ONE JSON line:
+  metric      images/sec/chip of the fused IM generation path
+  vs_baseline fused throughput / reference-style loop throughput
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from inconsistencymasks_tpu.models.unet import UNet
+    from inconsistencymasks_tpu.ops import im_core, morphology
+    from inconsistencymasks_tpu.train.population import init_population
+
+    H = W = 256
+    BATCH = 64
+    K = 2
+
+    module = UNet(num_classes=1, alpha=0.5, activation="relu",
+                  out_activation="sigmoid")
+    stacked = init_population(module, H, W, 3, K, base_seed=0)
+
+    rng = np.random.RandomState(0)
+    images_np = rng.randint(0, 255, (BATCH, H, W, 3)).astype(np.uint8)
+    images = jnp.asarray(images_np)
+
+    # ---------------------------------------------------------------- fused
+    @jax.jit
+    def fused(stacked, images):
+        probs = jax.vmap(lambda v: module.apply(v, images, train=False)
+                         )(stacked)
+        masks = im_core.probs_to_binary_masks(probs, 0.5)
+        out = im_core.binary_im(masks)
+        im = morphology.dilate(out.im, 3)
+        img_b, _mask_b = im_core.blockout_binary(images, out.pred_mask, im,
+                                                 True, True)
+        fence = jnp.sum(out.im_size) + jnp.sum(img_b[0, 0, 0].astype(
+            jnp.int32))
+        return img_b, fence
+
+    float(fused(stacked, images)[1])          # compile + settle
+
+    def run_chain(n: int) -> float:
+        x = images
+        t0 = time.perf_counter()
+        fence = None
+        for _ in range(n):
+            x, fence = fused(stacked, x)
+        float(fence)                          # one round trip fences all n
+        return time.perf_counter() - t0
+
+    run_chain(2)                              # warm
+    t_short, t_long = run_chain(4), run_chain(20)
+    per_iter = (t_long - t_short) / 16
+    fused_ips = BATCH / per_iter
+
+    # ------------------------------------------------- reference-style loop
+    singles = [jax.tree.map(lambda a: a[i], stacked) for i in range(K)]
+
+    @jax.jit
+    def predict1(v, x):
+        p = module.apply(v, x, train=False)
+        return p, jnp.sum(p[0, 0, 0])         # scalar for synchronous fetch
+
+    one = jnp.asarray(images_np[0:1])
+    for v in singles:
+        float(predict1(v, one)[1])            # compile batch-1
+
+    # representative host-side mask for the NumPy/cv2 stage
+    host_masks = [(rng.rand(1, H, W, 1) > 0.5).astype(int) for _ in range(K)]
+
+    n_base = 12
+    t0 = time.perf_counter()
+    for i in range(n_base):
+        img = images_np[i].copy()
+        prepared = jnp.asarray(img[None])
+        for v in singles:                     # K separate sync'd predicts
+            _, fence = predict1(v, prepared)
+            float(fence)
+        stacked_m = np.stack(host_masks, 0)   # host XOR (ref 3104-3120)
+        s = stacked_m.sum(0)
+        pred = np.where(s == K, 1, 0)
+        im = np.where((s != 0) & (s != K), 1, 0)
+        pred_size = pred.sum()
+        im_size = im.sum()
+        pred_u8 = (pred * 255).squeeze().astype(np.uint8)
+        im_u8 = (im * 255).squeeze().astype(np.uint8)
+        im_u8 = cv2.dilate(im_u8, np.ones((3, 3), "uint8"), iterations=1)
+        img[im_u8 > 0] = 0                    # blockout (ref 2867-2874)
+        pred_u8[im_u8 > 0] = 0
+        _ = (pred_size, im_size)
+    base_ips = n_base / (time.perf_counter() - t0)
+
+    result = {
+        "metric": "isic_im_pseudo_label_gen_images_per_sec_per_chip",
+        "value": round(fused_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(fused_ips / base_ips, 1),
+    }
+    print(json.dumps(result))
+    print(f"# fused: {fused_ips:.1f} img/s ({per_iter * 1e3:.2f} ms/batch"
+          f" of {BATCH}) | reference-style loop: {base_ips:.1f} img/s | "
+          f"device: {jax.devices()[0]}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

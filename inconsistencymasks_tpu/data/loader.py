@@ -130,20 +130,23 @@ def stream_batches(ds: Dataset, batch_size: int, seed: int,
     def producer():
         rng = np.random.RandomState(seed)
         n = len(ds)
+        buf: list = []
         while not stop.is_set():
-            order = rng.permutation(n)
-            for start in range(0, n - batch_size + 1, batch_size):
-                idx = order[start:start + batch_size]
-                batch = (ds.images[idx],
-                         None if ds.targets is None else ds.targets[idx])
-                while not stop.is_set():
-                    try:
-                        q.put(batch, timeout=0.5)
-                        break
-                    except queue_mod.Full:
-                        continue
-                if stop.is_set():
-                    return
+            # tf.data `.repeat()` semantics: batches may span epoch
+            # boundaries, so datasets smaller than the batch size still
+            # yield full batches (with repeats across passes)
+            while len(buf) < batch_size:
+                buf.extend(rng.permutation(n).tolist())
+            idx = np.asarray(buf[:batch_size])
+            del buf[:batch_size]
+            batch = (ds.images[idx],
+                     None if ds.targets is None else ds.targets[idx])
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.5)
+                    break
+                except queue_mod.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

@@ -73,13 +73,17 @@ def _conv(features: int, kernel: int, dtype) -> nn.Conv:
     )
 
 
-def _bn(dtype) -> nn.BatchNorm:
+def _bn(dtype, axis_name: Optional[str] = None) -> nn.BatchNorm:
     # Statistics and scale/bias in fp32; output cast back to compute dtype.
+    # axis_name: cross-device statistic sync when training under shard_map
+    # with a sharded batch (keeps global-batch BN semantics identical to the
+    # reference's single-device batch 32).
     return nn.BatchNorm(
         momentum=BN_MOMENTUM,
         epsilon=BN_EPSILON,
         dtype=dtype,
         param_dtype=jnp.float32,
+        axis_name=axis_name,
     )
 
 
@@ -110,6 +114,9 @@ class UNet(nn.Module):
     dropout_rate_decoder: float = 0.0
     dropout_rate_bottleneck: float = 0.0
     compute_dtype: Any = jnp.bfloat16
+    # set to a mesh axis name (e.g. 'data') when training under shard_map
+    # with the batch sharded over that axis: BN statistics sync across it
+    bn_sync_axis: Any = None
 
     def _widths(self) -> Sequence[int]:
         return [int(f * self.alpha) for f in (16, 32, 64, 128, 256)]
@@ -126,29 +133,31 @@ class UNet(nn.Module):
                 x = nn.Dropout(rate=rate, deterministic=not train)(x)
             return x
 
+        bn = lambda: _bn(dt, self.bn_sync_axis)
+
         def enc_block(x, f1, f2, rate):
             x = act(_conv(f1, self.ks, dt)(x))
             x = act(_conv(f2, 1, dt)(x))
             x = drop(x, rate)
-            x = _bn(dt)(x, use_running_average=not train)
+            x = bn()(x, use_running_average=not train)
             p = nn.max_pool(x, (2, 2), strides=(2, 2))
             return x, p
 
         def dec_block(x, skip, f1, f2, rate):
             u = upsample2x(x) + skip
             c = act(_conv(f1, 1, dt)(u))
-            c = _bn(dt)(c, use_running_average=not train)
+            c = bn()(c, use_running_average=not train)
             c = act(_conv(f1, self.ks, dt)(c))
             c = act(_conv(f2, 1, dt)(c))
             c = drop(c, rate)
-            c = _bn(dt)(c, use_running_average=not train)
+            c = bn()(c, use_running_average=not train)
             return c
 
         # Input block: normalise uint8 [0,255] -> [0,1] on device.
         x = x.astype(jnp.float32) / 255.0
         x = x.astype(dt)
         x = act(_conv(w16, 1, dt)(x))
-        c0 = _bn(dt)(x, use_running_average=not train)
+        c0 = bn()(x, use_running_average=not train)
 
         c1, p1 = enc_block(c0, w16, w16, self.dropout_rate_encoder)
         c2, p2 = enc_block(p1, w32, w32, self.dropout_rate_encoder)
@@ -159,7 +168,7 @@ class UNet(nn.Module):
         b = act(_conv(w256, self.ks, dt)(p4))
         b = act(_conv(w128, 1, dt)(b))
         b = drop(b, self.dropout_rate_bottleneck)
-        c5 = _bn(dt)(b, use_running_average=not train)
+        c5 = bn()(b, use_running_average=not train)
 
         c6 = dec_block(c5, c4, w128, w64, self.dropout_rate_decoder)
         c7 = dec_block(c6, c3, w64, w32, self.dropout_rate_decoder)

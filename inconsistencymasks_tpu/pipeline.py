@@ -1,0 +1,950 @@
+"""Pipeline stage runners — the shared engine behind the numbered scripts.
+
+The reference implements each dataset x approach as a standalone ~100-300
+line script of nested grid loops (reference ISIC_2018/02..14_*.py etc.);
+the loops' structure is identical across datasets (SURVEY.md 2.2):
+
+    for runid in 1..3 [-> for n in 2..4] -> for gen in 0..4:
+        load n teacher checkpoints (gen 0: seed approach's topK)
+        generate pseudo-labels for val/test/unlabeled
+        merge the labeled set in
+        train 5(-10) student candidates -> keep top-K -> results CSV
+
+Here each stage is ONE function parameterised by a :class:`DatasetAdapter`;
+the numbered scripts stay as thin zero-arg wrappers preserving the
+reference CLI contract (script names, checkpoint names, CSV/PNG outputs).
+
+Naming contracts preserved exactly:
+- modelname grids: ``{prefix}_{approach}_{runid}[_n{n}]_gen{gen}`` with the
+  IM family's ``_e{EK}_d{DK}_bi_{BI}_bo_{BO}`` suffix (reference 09:59);
+- teachers: gen 0 from ``{prefix}_{seed_approach}_{runid}_topK_{j}``, later
+  gens from the previous generation's topK (09:66-74);
+- pseudo-label dirs under ``{split}_predictions/{approach}/{modelname}``;
+- ``results_*.csv`` + ``mean_im_size_*.csv`` (09:130-154).
+
+Noisy-Student/IM+ per-generation schedules (reference 08:38-45, 11:46-52):
+alpha 0.5->1.5, blur 0->3, noise 5->25, brightness ranges widening.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .config import DatasetConfig, load_config
+from .data.loader import (Dataset, list_pngs, load_hela_dataset,
+                          load_image_mask_dataset)
+from .train.checkpoint import load_variables
+from .utils.csv_io import write_results_csv
+from .workflows import make_unet, run_grid_cell
+from . import class_mappings
+
+# per-generation schedules (reference ISIC_2018/08_ISIC_2018_noisy_student.py:38-42)
+NS_ALPHAS = [0.5, 0.75, 1.0, 1.25, 1.5]
+NS_MAX_BLURS = [0, 1, 1, 2, 3]
+NS_MAX_NOISES = [5, 10, 15, 20, 25]
+NS_BRIGHTNESS_ALPHAS = [(0.9, 1.1), (0.8, 1.2), (0.7, 1.3), (0.6, 1.4),
+                        (0.5, 1.5)]
+NS_BRIGHTNESS_BETAS = [(-5, 5), (-10, 10), (-15, 15), (-20, 20), (-25, 25)]
+
+# consistency-loss augmentation strengths (reference 05:40-45)
+CS_STRENGTHS = ["low", "mid", "high"]
+CS_MAX_BLURS = [1, 2, 3]
+CS_MAX_NOISES = [10, 17, 25]
+CS_BRIGHTNESS_ALPHAS = [(0.85, 1.15), (0.7, 1.3), (0.5, 1.5)]
+CS_BRIGHTNESS_BETAS = [(-10, 10), (-17, 17), (-25, 25)]
+
+
+@dataclass
+class DatasetAdapter:
+    """Everything a stage runner needs to know about one dataset."""
+    key: str                 # 'isic' | 'hela' | 'suim' | 'cityscapes'
+    kind: str                # 'binary' | 'hela' | 'multiclass'
+    prefix: str              # modelname prefix, e.g. 'ISIC_2018'
+    cfg: DatasetConfig
+    base_dir: str
+    model_dir: str
+    csv_dir: str
+    train_labeled_dir: str       # main dir (hela) or images dir (others)
+    train_labeled_aug_dir: str
+    train_unlabeled_dir: str
+    val_dir: str
+    test_dir: str
+    train_full_dir: str
+    class_to_color: dict = field(default_factory=dict)
+    mesh: object = None
+    # overridable knobs for smoke/testing
+    runids: Sequence[int] = (1, 2, 3)
+    gens: Sequence[int] = (0, 1, 2, 3, 4)
+    n_values: Sequence[int] = (2, 3, 4)
+    population_first: int = 10   # FDT/LDT candidates
+    population_gen: int = 5      # per-generation students
+    epochs: Optional[int] = None
+    log: Callable = print
+
+    # ------------------------------------------------------------- loading
+
+    def load_split(self, main_dir: str) -> Dataset:
+        """Load a split from its MAIN dir (the one holding images/masks or
+        the HeLa channel dirs)."""
+        if self.kind == "hela":
+            return load_hela_dataset(main_dir)
+        return load_image_mask_dataset(
+            os.path.join(main_dir, "images"),
+            channels=self.cfg.image_channels,
+            binary=self.kind != "multiclass")
+
+    def images_dir(self, main_dir: str) -> str:
+        """The dir holding network inputs for a split main dir."""
+        if self.kind == "hela":
+            return os.path.join(main_dir, "brightfield")
+        return os.path.join(main_dir, "images")
+
+    def split_main(self, split: str) -> str:
+        return {"val": self.val_dir, "test": self.test_dir,
+                "unlabeled": self.train_unlabeled_dir,
+                "labeled": self.train_labeled_dir,
+                "labeled_aug": self.train_labeled_aug_dir,
+                "full": self.train_full_dir}[split]
+
+    def pred_dir(self, split: str, modelname: str, approach: str) -> str:
+        sub = {"val": "val_predictions", "test": "test_predictions",
+               "unlabeled": "train_unlabeled_predictions"}[split]
+        return os.path.join(self.base_dir, sub, approach, modelname)
+
+    def module(self, alpha: Optional[float] = None):
+        return make_unet(self.cfg, alpha=alpha)
+
+    def copy_labeled_into(self, pseudo_main_dir: str,
+                          source_main: Optional[str] = None) -> None:
+        """Merge the labeled set into a pseudo-label dir (reference
+        09:83-86)."""
+        src = source_main or self.train_labeled_dir
+        if self.kind == "hela":
+            for chan in ("brightfield", "alive", "dead", "mod_position"):
+                sdir = os.path.join(src, chan)
+                ddir = os.path.join(pseudo_main_dir, chan)
+                os.makedirs(ddir, exist_ok=True)
+                for n in list_pngs(sdir):
+                    shutil.copy(os.path.join(sdir, n),
+                                os.path.join(ddir, n))
+        else:
+            for sub in ("images", "masks"):
+                sdir = os.path.join(src, sub)
+                ddir = os.path.join(pseudo_main_dir, sub)
+                os.makedirs(ddir, exist_ok=True)
+                for n in list_pngs(sdir):
+                    shutil.copy(os.path.join(sdir, n),
+                                os.path.join(ddir, n))
+
+    def topk_path(self, modelname: str, j: int) -> str:
+        return os.path.join(self.model_dir, f"{modelname}_topK_{j}.h5")
+
+    def load_topk(self, modelname: str, count: int) -> list:
+        out = []
+        for j in range(1, count + 1):
+            variables, _ = load_variables(self.topk_path(modelname, j))
+            out.append(variables)
+        return out
+
+
+def make_adapter(key: str, config_path: Optional[str] = None,
+                 **overrides) -> DatasetAdapter:
+    from . import paths as P
+    fw = load_config(config_path)
+    if key == "isic":
+        cfg = fw.isic_2018
+        ad = DatasetAdapter(
+            key=key, kind="binary", prefix="ISIC_2018", cfg=cfg,
+            base_dir=cfg.base_dir,
+            model_dir=os.path.join(cfg.base_dir, "models"),
+            csv_dir=os.path.join(cfg.base_dir, "csv"),
+            train_labeled_dir=os.path.join(cfg.base_dir, "train_labeled"),
+            train_labeled_aug_dir=os.path.join(cfg.base_dir,
+                                               "train_labeled_aug"),
+            train_unlabeled_dir=os.path.join(cfg.base_dir,
+                                             "train_unlabeled"),
+            val_dir=os.path.join(cfg.base_dir, "val"),
+            test_dir=os.path.join(cfg.base_dir, "test"),
+            train_full_dir=os.path.join(cfg.base_dir, "train_full"))
+    elif key == "hela":
+        cfg = fw.hela
+        ad = DatasetAdapter(
+            key=key, kind="hela", prefix="HeLa", cfg=cfg,
+            base_dir=cfg.base_dir,
+            model_dir=os.path.join(cfg.base_dir, "models"),
+            csv_dir=os.path.join(cfg.base_dir, "csv"),
+            train_labeled_dir=os.path.join(cfg.base_dir, "train_labeled"),
+            train_labeled_aug_dir=os.path.join(cfg.base_dir,
+                                               "train_labeled_aug"),
+            train_unlabeled_dir=os.path.join(cfg.base_dir,
+                                             "train_unlabeled"),
+            val_dir=os.path.join(cfg.base_dir, "val"),
+            test_dir=os.path.join(cfg.base_dir, "test"),
+            train_full_dir=os.path.join(cfg.base_dir, "train_full"))
+    elif key in ("suim", "cityscapes"):
+        cfg = fw.suim if key == "suim" else fw.cityscapes
+        mapping = (class_mappings.CLASS_TO_COLOR_MAPPING_SUIM
+                   if key == "suim"
+                   else class_mappings.CLASS_TO_COLOR_MAPPING_CITYSCAPES)
+        ad = DatasetAdapter(
+            key=key, kind="multiclass",
+            prefix="SUIM" if key == "suim" else "Cityscapes", cfg=cfg,
+            base_dir=cfg.base_dir,
+            model_dir=os.path.join(cfg.base_dir, "models"),
+            csv_dir=os.path.join(cfg.base_dir, "csv"),
+            train_labeled_dir=os.path.join(cfg.base_dir, "train_labeled"),
+            train_labeled_aug_dir=os.path.join(cfg.base_dir,
+                                               "train_labeled_aug"),
+            train_unlabeled_dir=os.path.join(cfg.base_dir,
+                                             "train_unlabeled"),
+            val_dir=os.path.join(cfg.base_dir, "val"),
+            test_dir=os.path.join(cfg.base_dir, "test"),
+            train_full_dir=os.path.join(cfg.base_dir, "train_full"),
+            class_to_color=mapping)
+    else:
+        raise ValueError(key)
+
+    # environment scale-down knobs (smoke tests / partial reruns); default
+    # behaviour (full reference grid) is unchanged when unset
+    def _env_ints(name):
+        v = os.environ.get(name)
+        return tuple(int(x) for x in v.split(",")) if v else None
+
+    for attr, env in (("runids", "IM_RUNIDS"), ("gens", "IM_GENS"),
+                      ("n_values", "IM_N_VALUES")):
+        v = _env_ints(env)
+        if v is not None:
+            setattr(ad, attr, v)
+    for attr, env in (("population_first", "IM_POPULATION_FIRST"),
+                      ("population_gen", "IM_POPULATION_GEN"),
+                      ("epochs", "IM_EPOCHS")):
+        v = os.environ.get(env)
+        if v is not None:
+            setattr(ad, attr, int(v))
+
+    for k, v in overrides.items():
+        setattr(ad, k, v)
+    return ad
+
+
+# ==========================================================================
+# core helper: one training cell (population -> benchmarks -> topK -> CSV)
+# ==========================================================================
+
+def _train_cell(ad: DatasetAdapter, approach: str, modelname: str,
+                train_main: str, *, population: int,
+                alpha: Optional[float] = None,
+                initial_variables=None, steps_per_epoch=None):
+    module = ad.module(alpha)
+    train_ds = ad.load_split(train_main)
+    val_ds = ad.load_split(ad.val_dir)
+    test_ds = ad.load_split(ad.test_dir)
+    unl_ds = ad.load_split(ad.train_unlabeled_dir)
+    return run_grid_cell(
+        kind=ad.kind, cfg=ad.cfg, module=module, train_ds=train_ds,
+        val_ds=val_ds, test_ds=test_ds, unlabeled_ds=unl_ds,
+        modelname=modelname, model_dir=ad.model_dir, csv_dir=ad.csv_dir,
+        pred_dir_fn=lambda split, mn: ad.pred_dir(split, mn, approach),
+        population=population, epochs=ad.epochs,
+        steps_per_epoch=steps_per_epoch, mesh=ad.mesh,
+        base_seed=abs(hash(modelname)) % (2 ** 31),
+        initial_variables=initial_variables,
+        class_to_color=ad.class_to_color, log=ad.log)
+
+
+# ==========================================================================
+# Stage: FDT / LDT / ALDT  (reference 02/03/04_*.py)
+# ==========================================================================
+
+def run_supervised_stage(ad: DatasetAdapter, approach: str,
+                         train_main: str) -> None:
+    """FDT ('full_dataset'), LDT ('subset') or ALDT ('subset_aug')."""
+    os.makedirs(ad.model_dir, exist_ok=True)
+    for runid in ad.runids:
+        modelname = f"{ad.prefix}_{approach}_{runid}"
+        _train_cell(ad, approach, modelname, train_main,
+                    population=ad.population_first)
+
+
+def run_aldt_stage(ad: DatasetAdapter) -> None:
+    """ALDT = build the augmented labeled set (C23), then train on it
+    (reference 04_*_subset_aug.py:38-41)."""
+    from .pseudo import aldt
+    if ad.kind == "hela":
+        aldt.create_augment_images_and_masks_hela(
+            ad.train_labeled_dir, ad.train_labeled_aug_dir,
+            free_rotation=ad.cfg.free_rotation)
+    else:
+        aldt.create_augment_images_and_masks_binary(
+            os.path.join(ad.train_labeled_dir, "images"),
+            os.path.join(ad.train_labeled_dir, "masks"),
+            ad.train_labeled_aug_dir, channels=ad.cfg.image_channels,
+            free_rotation=ad.cfg.free_rotation)
+    run_supervised_stage(ad, "subset_aug", ad.train_labeled_aug_dir)
+
+
+# ==========================================================================
+# Stage: consistency loss  (reference 05_*.py)
+# ==========================================================================
+
+def run_consistency_stage(ad: DatasetAdapter, population: int = 5) -> None:
+    from .data.loader import load_images
+    from .ops.augment import AugmentParams
+    from .train.checkpoint import stack_variables
+    from .train.consistency import ConsistencyTrainer
+    from .evaluate.benchmark import (benchmark_binary, benchmark_hela,
+                                     benchmark_multiclass)
+    from .train.checkpoint import save_variables
+    from .workflows import (BINARY_HEADER, HELA_HEADER, MULTICLASS_HEADER,
+                            _sort_spec)
+
+    approach = "consistency_loss"
+    d = ad.cfg.defaults
+    labeled = ad.load_split(ad.train_labeled_dir)
+    unlabeled = load_images(ad.images_dir(ad.train_unlabeled_dir),
+                            ad.cfg.image_channels)
+    val = ad.load_split(ad.val_dir)
+    test = ad.load_split(ad.test_dir)
+    unl_eval = ad.load_split(ad.train_unlabeled_dir)
+    module = ad.module()
+
+    for runid in ad.runids:
+        for idx, strength in enumerate(CS_STRENGTHS):
+            modelname = f"{ad.prefix}_{approach}_{runid}_aug_{strength}"
+            warm, _ = load_variables(
+                ad.topk_path(f"{ad.prefix}_subset_{runid}", 1))
+            stacked = stack_variables([warm] * population)
+            aug = AugmentParams(
+                max_blur=CS_MAX_BLURS[idx], max_noise=CS_MAX_NOISES[idx],
+                brightness_alpha=CS_BRIGHTNESS_ALPHAS[idx],
+                brightness_beta=CS_BRIGHTNESS_BETAS[idx],
+                free_rotation=ad.cfg.free_rotation)
+            trainer = ConsistencyTrainer(
+                module, stacked,
+                loss="cce" if ad.kind == "multiclass" else "mse",
+                learning_rate=d.lr, weight_decay=d.wd,
+                num_classes=ad.cfg.num_classes, aug_params=aug)
+            trainer.fit(labeled, unlabeled, val,
+                        epochs=ad.epochs or d.num_epochs_cs,
+                        batch_size=d.batch_size,
+                        validation_frequency=d.validation_frequency,
+                        seed=d.seed, log=ad.log)
+
+            rows = []
+            for i, variables in enumerate(trainer.best_variables()):
+                mn = f"{modelname}_{i}"
+                save_variables(os.path.join(ad.model_dir, f"{mn}.h5"),
+                               variables, {"modelname": mn})
+                pred = lambda s: ad.pred_dir(s, mn, approach)
+                if ad.kind == "binary":
+                    vals = [benchmark_binary(module, variables,
+                                             ad.load_split(m),
+                                             pred_dir=pred(s))
+                            for s, m in (("val", ad.val_dir),
+                                         ("test", ad.test_dir),
+                                         ("unlabeled",
+                                          ad.train_unlabeled_dir))]
+                    mious, dices = zip(*vals)
+                    rows.append((mn, *mious, *dices))
+                elif ad.kind == "hela":
+                    vals = [benchmark_hela(module, variables,
+                                           ad.load_split(m),
+                                           pred_dir=pred(s))
+                            for s, m in (("val", ad.val_dir),
+                                         ("test", ad.test_dir),
+                                         ("unlabeled",
+                                          ad.train_unlabeled_dir))]
+                    rows.append((mn, *vals[0], *vals[1], *vals[2]))
+                else:
+                    vals = [benchmark_multiclass(
+                        module, variables, ad.load_split(m),
+                        num_classes=ad.cfg.num_classes,
+                        class_to_color=ad.class_to_color, pred_dir=pred(s))
+                        for s, m in (("val", ad.val_dir),
+                                     ("test", ad.test_dir),
+                                     ("unlabeled", ad.train_unlabeled_dir))]
+                    (pv, iv), (pt, it), (pu, iu) = vals
+                    rows.append((mn, pv, pt, pu, iv, it, iu))
+
+            key_idx, desc = _sort_spec(ad.kind)
+            order = sorted(range(len(rows)), key=lambda i: rows[i][key_idx],
+                           reverse=desc)
+            for rank, i in enumerate(order[:d.top_ks], start=1):
+                os.replace(os.path.join(ad.model_dir, f"{rows[i][0]}.h5"),
+                           ad.topk_path(modelname, rank))
+            header = {"binary": BINARY_HEADER, "hela": HELA_HEADER,
+                      "multiclass": MULTICLASS_HEADER}[ad.kind]
+            write_results_csv(os.path.join(ad.csv_dir,
+                                           f"results_{modelname}.csv"),
+                              header, rows)
+
+
+# ==========================================================================
+# Stage: generation loops (model/input ensemble, noisy student, IM family)
+# ==========================================================================
+
+def _teacher_names(ad: DatasetAdapter, approach_tag: str, runid: int,
+                   gen: int, n: Optional[int], suffix: str = "",
+                   seed_approach: str = "subset") -> Callable[[int], str]:
+    """modelname (without _topK_) providing the teachers of (runid, n, gen)."""
+    if gen == 0:
+        return f"{ad.prefix}_{seed_approach}_{runid}"
+    n_part = f"_n{n}" if n is not None else ""
+    return f"{ad.prefix}_{approach_tag}_{runid}{n_part}_gen{gen - 1}{suffix}"
+
+
+def _im_suffix(ad: DatasetAdapter) -> str:
+    c = ad.cfg
+    return (f"_e{c.erode_kernel}_d{c.dilate_kernel}"
+            f"_bi_{c.block_input}_bo_{c.block_output}")
+
+
+def _generate_im(ad: DatasetAdapter, teachers, approach: str,
+                 modelname: str, out_root: str = ""):
+    """IM pseudo-labels for val/test/unlabeled; returns mean-im sizes."""
+    from .pseudo import (create_pseudo_labels_im_binary,
+                         create_pseudo_labels_im_hela,
+                         create_pseudo_labels_im_multiclass)
+    c = ad.cfg
+    module = ad.module()
+    sizes = []
+    for split in ("val", "test", "unlabeled"):
+        out = ad.pred_dir(split, modelname, approach)
+        if out_root:
+            out = ad.pred_dir(split, os.path.join(out_root, modelname),
+                              approach)
+        src = ad.images_dir(ad.split_main(split))
+        if ad.kind == "binary":
+            sizes.append(create_pseudo_labels_im_binary(
+                module, teachers, src, out, channels=c.image_channels,
+                threshold=c.defaults.threshold,
+                erode_kernel=c.erode_kernel, dilate_kernel=c.dilate_kernel,
+                block_input=c.block_input, block_output=c.block_output))
+        elif ad.kind == "hela":
+            sizes.append(create_pseudo_labels_im_hela(
+                module, teachers, src, out,
+                threshold=c.defaults.threshold,
+                erode_kernel=c.erode_kernel, dilate_kernel=c.dilate_kernel,
+                block_input=c.block_input, block_output=c.block_output))
+        else:
+            sizes.append(create_pseudo_labels_im_multiclass(
+                module, teachers, src, out, num_classes=c.num_classes,
+                channels=c.image_channels, erode_kernel=c.erode_kernel,
+                dilate_kernel=c.dilate_kernel, block_input=c.block_input,
+                block_output=c.block_output,
+                filter_unequal_class_pred=c.filter_inconsistent_class_pred))
+    return sizes
+
+
+def run_im_stage(ad: DatasetAdapter, approach: str = "IM",
+                 seed_approach: str = "subset") -> None:
+    """The IM generation loop (reference 09_*_IM.py)."""
+    suffix = _im_suffix(ad)
+    for runid in ad.runids:
+        for n in ad.n_values:
+            for gen in ad.gens:
+                modelname = (f"{ad.prefix}_{approach}_{runid}_n{n}"
+                             f"_gen{gen}{suffix}")
+                teacher_name = _teacher_names(ad, approach, runid, gen, n,
+                                              suffix, seed_approach)
+                teachers = ad.load_topk(teacher_name, n)
+                sizes = _generate_im(ad, teachers, approach, modelname)
+                pseudo_main = ad.pred_dir("unlabeled", modelname, approach)
+                ad.copy_labeled_into(pseudo_main)
+                _train_cell(ad, approach, modelname, pseudo_main,
+                            population=ad.population_gen)
+                write_results_csv(
+                    os.path.join(ad.csv_dir,
+                                 f"mean_im_size_{modelname}.csv"),
+                    ["val_mean_im_size", "test_mean_im_size",
+                     "unlabeled_mean_im_size"], [sizes])
+
+
+def run_model_ensemble_stage(ad: DatasetAdapter) -> None:
+    """reference 06_*_model_ensemble.py."""
+    from .pseudo import (create_pseudo_labels_model_ensemble_binary,
+                         create_pseudo_labels_model_ensemble_hela,
+                         create_pseudo_labels_model_ensemble_multiclass)
+    approach = "model_ensemble"
+    module = ad.module()
+    c = ad.cfg
+    for runid in ad.runids:
+        for n in ad.n_values:
+            for gen in ad.gens:
+                modelname = f"{ad.prefix}_{approach}_{runid}_n{n}_gen{gen}"
+                teacher_name = _teacher_names(ad, approach, runid, gen, n)
+                teachers = ad.load_topk(teacher_name, n)
+                for split in ("val", "test", "unlabeled"):
+                    out = ad.pred_dir(split, modelname, approach)
+                    src = ad.images_dir(ad.split_main(split))
+                    if ad.kind == "binary":
+                        create_pseudo_labels_model_ensemble_binary(
+                            module, teachers, src, out,
+                            channels=c.image_channels,
+                            threshold=c.defaults.threshold)
+                    elif ad.kind == "hela":
+                        create_pseudo_labels_model_ensemble_hela(
+                            module, teachers, src, out,
+                            threshold=c.defaults.threshold)
+                    else:
+                        create_pseudo_labels_model_ensemble_multiclass(
+                            module, teachers, src, out,
+                            channels=c.image_channels, soft=True)
+                pseudo_main = ad.pred_dir("unlabeled", modelname, approach)
+                ad.copy_labeled_into(pseudo_main)
+                _train_cell(ad, approach, modelname, pseudo_main,
+                            population=ad.population_gen)
+
+
+def run_input_ensemble_stage(ad: DatasetAdapter,
+                             n_views: Sequence[int] = (3, 5, 7)) -> None:
+    """reference 07_*_input_ensemble.py: a SINGLE topK-1 teacher with n TTA
+    views."""
+    from .pseudo import (create_pseudo_labels_input_ensemble_binary,
+                         create_pseudo_labels_input_ensemble_hela,
+                         create_pseudo_labels_input_ensemble_multiclass)
+    approach = "input_ensemble"
+    module = ad.module()
+    c = ad.cfg
+    for runid in ad.runids:
+        for n in n_views:
+            for gen in ad.gens:
+                modelname = f"{ad.prefix}_{approach}_{runid}_n{n}_gen{gen}"
+                teacher_name = _teacher_names(ad, approach, runid, gen, n)
+                teacher = ad.load_topk(teacher_name, 1)[0]
+                for split in ("val", "test", "unlabeled"):
+                    out = ad.pred_dir(split, modelname, approach)
+                    src = ad.images_dir(ad.split_main(split))
+                    if ad.kind == "binary":
+                        create_pseudo_labels_input_ensemble_binary(
+                            module, teacher, src, out,
+                            channels=c.image_channels, n=n,
+                            use_n_rnd_transformations=
+                            c.use_n_rnd_transformations,
+                            threshold=c.defaults.threshold)
+                    elif ad.kind == "hela":
+                        create_pseudo_labels_input_ensemble_hela(
+                            module, teacher, src, out, n=n,
+                            threshold=c.defaults.threshold)
+                    else:
+                        create_pseudo_labels_input_ensemble_multiclass(
+                            module, teacher, src, out,
+                            channels=c.image_channels, n=n)
+                pseudo_main = ad.pred_dir("unlabeled", modelname, approach)
+                ad.copy_labeled_into(pseudo_main)
+                _train_cell(ad, approach, modelname, pseudo_main,
+                            population=ad.population_gen)
+
+
+def run_noisy_student_stage(ad: DatasetAdapter) -> None:
+    """reference 08_*_noisy_student.py: growing student alpha + noise."""
+    from .pseudo import (create_pseudo_labels_noisy_student_binary,
+                         create_pseudo_labels_noisy_student_hela,
+                         create_pseudo_labels_noisy_student_multiclass)
+    approach = "noisy_student"
+    module = ad.module()
+    c = ad.cfg
+    for runid in ad.runids:
+        for gen in ad.gens:
+            modelname = f"{ad.prefix}_{approach}_{runid}_gen{gen}"
+            teacher_name = _teacher_names(ad, approach, runid, gen, None)
+            teacher = ad.load_topk(teacher_name, 1)[0]
+            out = ad.pred_dir("unlabeled", modelname, approach)
+            src = ad.images_dir(ad.train_unlabeled_dir)
+            kwargs = dict(
+                brightness_range_alpha=NS_BRIGHTNESS_ALPHAS[gen],
+                brightness_range_beta=NS_BRIGHTNESS_BETAS[gen],
+                max_blur=NS_MAX_BLURS[gen], max_noise=NS_MAX_NOISES[gen],
+                free_rotation=c.free_rotation)
+            # the teacher of gen g has alpha NS_ALPHAS[g-1] (gen 0: cfg)
+            t_alpha = c.alpha if gen == 0 else NS_ALPHAS[gen - 1]
+            t_module = ad.module(alpha=t_alpha)
+            if ad.kind == "binary":
+                create_pseudo_labels_noisy_student_binary(
+                    t_module, teacher, src, out,
+                    channels=c.image_channels,
+                    threshold=c.defaults.threshold, **kwargs)
+            elif ad.kind == "hela":
+                create_pseudo_labels_noisy_student_hela(
+                    t_module, teacher, src, out,
+                    threshold=c.defaults.threshold, **kwargs)
+            else:
+                create_pseudo_labels_noisy_student_multiclass(
+                    t_module, teacher, src, out,
+                    channels=c.image_channels, **kwargs)
+            ad.copy_labeled_into(out)
+            _train_cell(ad, approach, modelname, out,
+                        population=ad.population_gen,
+                        alpha=NS_ALPHAS[gen])
+
+
+def run_im_plus_stage(ad: DatasetAdapter, approach: str = "IM_plus",
+                      seed_approach: str = "subset",
+                      labeled_source: Optional[str] = None,
+                      keep_unaugmented: bool = False) -> None:
+    """IM+ (reference 11_*_IM+.py): IM -> noisy-student-style augmentation
+    of the blocked pairs (NUM_IMAGES_IM_PLUS copies, originals dropped) ->
+    students with growing alpha.  AIM+ (13_*_aug_IM+.py) = same with
+    ALDT seeds/labeled set and keep_unaugmented=True."""
+    from .pseudo.aldt import (create_augment_images_and_masks_binary,
+                              create_augment_images_and_masks_hela)
+    suffix = _im_suffix(ad)
+    c = ad.cfg
+    for runid in ad.runids:
+        for n in ad.n_values:
+            for gen in ad.gens:
+                modelname = (f"{ad.prefix}_{approach}_{runid}_n{n}"
+                             f"_gen{gen}{suffix}")
+                teacher_name = _teacher_names(ad, approach, runid, gen, n,
+                                              suffix, seed_approach)
+                teachers = ad.load_topk(teacher_name, n)
+                # IM into a temp dir (reference 11:67-70)
+                tmp_name = os.path.join("temp", modelname)
+                _generate_im(ad, teachers, approach, modelname,
+                             out_root="temp")
+                im_main = ad.pred_dir(
+                    "unlabeled", os.path.join("temp", modelname), approach)
+                plus_main = ad.pred_dir("unlabeled", modelname, approach)
+                aug_kwargs = dict(
+                    num_images=c.num_images_im_plus,
+                    copy_org=keep_unaugmented,
+                    brightness_range_alpha=NS_BRIGHTNESS_ALPHAS[gen],
+                    brightness_range_beta=NS_BRIGHTNESS_BETAS[gen],
+                    max_blur=NS_MAX_BLURS[gen],
+                    max_noise=NS_MAX_NOISES[gen],
+                    free_rotation=c.free_rotation)
+                if ad.kind == "hela":
+                    create_augment_images_and_masks_hela(
+                        im_main, plus_main, **aug_kwargs)
+                else:
+                    create_augment_images_and_masks_binary(
+                        os.path.join(im_main, "images"),
+                        os.path.join(im_main, "masks"), plus_main,
+                        channels=c.image_channels, **aug_kwargs)
+                ad.copy_labeled_into(plus_main,
+                                     source_main=labeled_source)
+                _train_cell(ad, approach, modelname, plus_main,
+                            population=ad.population_gen,
+                            alpha=NS_ALPHAS[gen])
+
+
+# ==========================================================================
+# Stage: EvalNet training + segnet filtering loop (reference 10_*_evalnet*)
+# ==========================================================================
+
+def _evalnet_module(ad: DatasetAdapter):
+    from .models.evalnet import EvalNet, EvalNetMIoU
+    c = ad.cfg
+    if ad.kind == "binary":
+        return EvalNet(alpha=c.alpha_evalnet, activation="relu",
+                       normalize_b=True), False
+    if ad.kind == "hela":
+        return EvalNetMIoU(num_mask_channels=3, alpha=c.alpha_evalnet,
+                           activation="relu", normalize_b=False), True
+    return EvalNetMIoU(num_mask_channels=c.num_classes,
+                       alpha=c.alpha_evalnet, activation="relu",
+                       normalize_b=False), True
+
+
+def _gather_candidate_models(ad: DatasetAdapter, pattern: str) -> list:
+    """All checkpoints whose filename contains ``pattern`` (the reference
+    loads every ISIC_2018_subset_{runid}* file, 12:73-82)."""
+    out = []
+    for fname in sorted(os.listdir(ad.model_dir)):
+        if pattern in fname and fname.endswith(".h5"):
+            variables, _ = load_variables(os.path.join(ad.model_dir, fname))
+            out.append(variables)
+    return out
+
+
+def train_evalnet_population(ad: DatasetAdapter, evalnet_name: str,
+                             train_main: str, val_main: str,
+                             population: int = 5) -> list:
+    """Train 5 EvalNet candidates from identical init, keep top-4 by val
+    metric, write results CSV (reference 12:104-133).  Returns the ranked
+    best variables."""
+    from .evalnet_pipeline.dataset import (load_evalnet_dataset_binary,
+                                           load_evalnet_dataset_hela,
+                                           load_evalnet_dataset_multiclass)
+    from .evalnet_pipeline.trainer import EvalNetTrainer
+    from .train.checkpoint import save_variables
+    from .train.population import init_population_evalnet
+
+    c = ad.cfg
+    d = c.defaults
+    module, two_head = _evalnet_module(ad)
+    cb = {"binary": 1, "hela": 3, "multiclass": c.num_classes}[ad.kind]
+    stacked = init_population_evalnet(
+        module, c.image_height, c.image_width, c.image_channels, cb,
+        population=population, identical=True,
+        base_seed=abs(hash(evalnet_name)) % (2 ** 31))
+    if ad.kind == "binary":
+        train_ds = load_evalnet_dataset_binary(train_main,
+                                               c.image_channels)
+        val_ds = load_evalnet_dataset_binary(val_main, c.image_channels)
+    elif ad.kind == "hela":
+        train_ds = load_evalnet_dataset_hela(train_main)
+        val_ds = load_evalnet_dataset_hela(val_main)
+    else:
+        train_ds = load_evalnet_dataset_multiclass(
+            train_main, c.num_classes, c.image_channels, classwise=True)
+        val_ds = load_evalnet_dataset_multiclass(
+            val_main, c.num_classes, c.image_channels, classwise=True)
+
+    trainer = EvalNetTrainer(module, stacked, two_head=two_head,
+                             learning_rate=d.lr, weight_decay=d.wd)
+    trainer.fit(train_ds, val_ds,
+                epochs=ad.epochs or d.num_epochs_evalnet,
+                batch_size=d.batch_size_evalnet, seed=d.seed, log=ad.log)
+    best = trainer.best_variables()
+    metrics = trainer.best_metrics()
+    rows = []
+    for i, variables in enumerate(best):
+        mn = f"{evalnet_name}_{i}"
+        save_variables(os.path.join(ad.model_dir, f"{mn}.h5"), variables,
+                       {"modelname": mn})
+        rows.append((mn, float(metrics[i]), float(metrics[i])))
+    order = sorted(range(len(rows)), key=lambda i: rows[i][1])
+    for rank, idx in enumerate(order[:d.top_ks], start=1):
+        os.replace(os.path.join(ad.model_dir, f"{rows[idx][0]}.h5"),
+                   ad.topk_path(evalnet_name, rank))
+    write_results_csv(os.path.join(ad.csv_dir,
+                                   f"results_{evalnet_name}.csv"),
+                      ["modelname", "mse", "mae"], rows)
+    return [best[i] for i in order]
+
+
+def run_evalnet_datagen(ad: DatasetAdapter, runid: int,
+                        evalnet_dir_tag: str = "evalnet_im") -> tuple:
+    """IM-style EvalNet training data from the subset candidates
+    (reference 12:67-97)."""
+    from .evalnet_pipeline import (create_training_data_evalnet_im_binary,
+                                   create_training_data_evalnet_miou_im_hela,
+                                   create_training_data_evalnet_miou_im_multiclass)
+    c = ad.cfg
+    d = c.defaults
+    teachers = _gather_candidate_models(ad, f"{ad.prefix}_subset_{runid}")
+    module = ad.module()
+    train_main = os.path.join(ad.base_dir, evalnet_dir_tag, f"run_{runid}",
+                              "train")
+    val_main = os.path.join(ad.base_dir, evalnet_dir_tag, f"run_{runid}",
+                            "val")
+    if ad.kind == "binary":
+        create_training_data_evalnet_im_binary(
+            module, teachers,
+            os.path.join(ad.train_labeled_dir, "images"),
+            os.path.join(ad.train_labeled_dir, "masks"),
+            train_main, d.num_loops_train, channels=c.image_channels)
+        create_training_data_evalnet_im_binary(
+            module, teachers, os.path.join(ad.val_dir, "images"),
+            os.path.join(ad.val_dir, "masks"),
+            val_main, d.num_loops_val, channels=c.image_channels)
+    elif ad.kind == "hela":
+        create_training_data_evalnet_miou_im_hela(
+            module, teachers,
+            os.path.join(ad.train_labeled_dir, "brightfield"),
+            ad.train_labeled_dir, train_main, d.num_loops_train)
+        create_training_data_evalnet_miou_im_hela(
+            module, teachers, os.path.join(ad.val_dir, "brightfield"),
+            ad.val_dir, val_main, d.num_loops_val)
+    else:
+        create_training_data_evalnet_miou_im_multiclass(
+            module, teachers,
+            os.path.join(ad.train_labeled_dir, "images"),
+            os.path.join(ad.train_labeled_dir, "masks"),
+            train_main, d.num_loops_train, num_classes=c.num_classes,
+            channels=c.image_channels)
+        create_training_data_evalnet_miou_im_multiclass(
+            module, teachers, os.path.join(ad.val_dir, "images"),
+            os.path.join(ad.val_dir, "masks"),
+            val_main, d.num_loops_val, num_classes=c.num_classes,
+            channels=c.image_channels)
+    return train_main, val_main
+
+
+def run_evalnet_segnet_stage(ad: DatasetAdapter,
+                             train_new_evalnet: bool = True,
+                             evalnet_count: Optional[int] = None) -> None:
+    """The segnet filtering loop (reference 10_*_evalnet_ensemble.py):
+    train an EvalNet ensemble per runid (on plain checkpoint predictions),
+    then per (n, gen) filter the unlabeled set's candidate masks and
+    retrain students."""
+    from .evalnet_pipeline import (
+        create_training_data_evalnet_binary,
+        create_training_data_evalnet_multiclass,
+        create_training_data_for_segnet_binary,
+        create_training_data_for_segnet_miou_hela,
+        create_training_data_for_segnet_miou_multiclass)
+    c = ad.cfg
+    d = c.defaults
+    seg_approach = "segnet"
+    module = ad.module()
+
+    for runid in ad.runids:
+        evalnet_name = f"{ad.prefix}_evalnet_{runid}"
+        ev_module, two_head = _evalnet_module(ad)
+        if train_new_evalnet:
+            # datagen from the 10 subset candidates (pred masks ___i)
+            train_main = os.path.join(ad.base_dir, "evalnet",
+                                      f"run_{runid}", "train")
+            val_main = os.path.join(ad.base_dir, "evalnet",
+                                    f"run_{runid}", "val")
+            teachers = _gather_candidate_models(
+                ad, f"{ad.prefix}_subset_{runid}")
+            for i, tv in enumerate(teachers):
+                if ad.kind == "binary":
+                    create_training_data_evalnet_binary(
+                        module, tv,
+                        os.path.join(ad.train_labeled_dir, "images"),
+                        os.path.join(ad.train_labeled_dir, "masks"),
+                        train_main, i, channels=c.image_channels)
+                    create_training_data_evalnet_binary(
+                        module, tv, os.path.join(ad.val_dir, "images"),
+                        os.path.join(ad.val_dir, "masks"), val_main, i,
+                        channels=c.image_channels)
+                elif ad.kind == "multiclass":
+                    create_training_data_evalnet_multiclass(
+                        module, tv,
+                        os.path.join(ad.train_labeled_dir, "images"),
+                        os.path.join(ad.train_labeled_dir, "masks"),
+                        train_main, i, num_classes=c.num_classes,
+                        channels=c.image_channels)
+                    create_training_data_evalnet_multiclass(
+                        module, tv, os.path.join(ad.val_dir, "images"),
+                        os.path.join(ad.val_dir, "masks"), val_main, i,
+                        num_classes=c.num_classes,
+                        channels=c.image_channels)
+            if ad.kind == "hela":
+                # HeLa uses the mIoU-IM datagen for its evalnet (reference
+                # 10_HeLa_evalnet_miou_ensemble.py)
+                train_main, val_main = run_evalnet_datagen(
+                    ad, runid, evalnet_dir_tag="evalnet")
+            train_evalnet_population(ad, evalnet_name, train_main,
+                                     val_main)
+
+        for n in ad.n_values:
+            for gen in ad.gens:
+                modelname = f"{ad.prefix}_{seg_approach}_{runid}_n{n}_gen{gen}"
+                evalnets = ad.load_topk(evalnet_name, evalnet_count or n)
+                pseudo_main = ad.pred_dir("unlabeled", modelname,
+                                          seg_approach)
+                if gen == 0:
+                    mask_dirs = [
+                        ad.pred_dir("unlabeled",
+                                    f"{ad.prefix}_subset_{runid}_{j}",
+                                    "subset")
+                        for j in range(ad.population_first)]
+                    last_gen = ""
+                else:
+                    prev = f"{ad.prefix}_{seg_approach}_{runid}_n{n}_gen{gen - 1}"
+                    mask_dirs = [
+                        ad.pred_dir("unlabeled", f"{prev}_{j}",
+                                    seg_approach)
+                        for j in range(ad.population_gen)]
+                    last_gen = ad.pred_dir("unlabeled", prev, seg_approach)
+                if ad.kind == "binary":
+                    create_training_data_for_segnet_binary(
+                        ev_module, evalnets,
+                        os.path.join(ad.train_unlabeled_dir, "images"),
+                        mask_dirs, pseudo_main, d.threshold,
+                        last_gen_main_path=last_gen,
+                        channels=c.image_channels)
+                elif ad.kind == "hela":
+                    create_training_data_for_segnet_miou_hela(
+                        ev_module, evalnets,
+                        os.path.join(ad.train_unlabeled_dir,
+                                     "brightfield"),
+                        mask_dirs, pseudo_main, d.threshold,
+                        last_gen_main_path=last_gen)
+                else:
+                    create_training_data_for_segnet_miou_multiclass(
+                        ev_module, evalnets,
+                        os.path.join(ad.train_unlabeled_dir, "images"),
+                        mask_dirs, pseudo_main, d.threshold,
+                        num_classes=c.num_classes,
+                        last_gen_main_path=last_gen,
+                        channels=c.image_channels)
+                ad.copy_labeled_into(pseudo_main)
+                _train_cell(ad, seg_approach, modelname, pseudo_main,
+                            population=ad.population_gen)
+
+
+def run_im_plus_plus_stage(ad: DatasetAdapter,
+                           approach: str = "IM_plus_plus",
+                           seed_approach: str = "subset",
+                           labeled_source: Optional[str] = None,
+                           evalnet_tag: str = "evalnet_im",
+                           train_new_evalnet: bool = True,
+                           use_gt_oracle: bool = False) -> None:
+    """IM++ (reference 12_*_IM++.py): per runid train an EvalNet-IM
+    ensemble on the fly, then per (n, gen): IM -> EvalNet-guided adaptive
+    1-5x augmentation of the blocked pairs -> students with growing alpha.
+    AIM++ (14_*) = ALDT seeds + aug labeled set.  GT_IM++ (SUIM 16) =
+    use_gt_oracle=True replaces the EvalNet with true-GT scoring."""
+    from .evalnet_pipeline import (
+        create_augment_images_and_masks_with_evalnet_binary,
+        create_augment_images_and_masks_with_evalnet_multiclass,
+        create_augment_images_and_masks_with_gt)
+    c = ad.cfg
+    suffix = _im_suffix(ad)
+    for runid in ad.runids:
+        evalnet_name = f"{ad.prefix}_{evalnet_tag}_{runid}"
+        ev_module, _ = _evalnet_module(ad)
+        if not use_gt_oracle and train_new_evalnet:
+            train_main, val_main = run_evalnet_datagen(ad, runid,
+                                                       evalnet_tag)
+            train_evalnet_population(ad, evalnet_name, train_main,
+                                     val_main)
+        for n in ad.n_values:
+            for gen in ad.gens:
+                modelname = (f"{ad.prefix}_{approach}_{runid}_n{n}"
+                             f"_gen{gen}{suffix}")
+                teacher_name = _teacher_names(ad, approach, runid, gen, n,
+                                              suffix, seed_approach)
+                teachers = ad.load_topk(teacher_name, n)
+                sizes = _generate_im(ad, teachers, approach, modelname,
+                                     out_root="temp")
+                im_main = ad.pred_dir("unlabeled",
+                                      os.path.join("temp", modelname),
+                                      approach)
+                out_main = ad.pred_dir("unlabeled", modelname, approach)
+                aug_kwargs = dict(
+                    min_threshold=c.min_threshold,
+                    max_threshold=c.max_threshold,
+                    brightness_range_alpha=NS_BRIGHTNESS_ALPHAS[gen],
+                    brightness_range_beta=NS_BRIGHTNESS_BETAS[gen],
+                    max_blur=NS_MAX_BLURS[gen],
+                    max_noise=NS_MAX_NOISES[gen],
+                    free_rotation=c.free_rotation)
+                if use_gt_oracle:
+                    create_augment_images_and_masks_with_gt(
+                        im_main,
+                        os.path.join(ad.train_unlabeled_dir, "masks"),
+                        out_main, num_classes=c.num_classes,
+                        channels=c.image_channels, **aug_kwargs)
+                elif ad.kind == "binary":
+                    evalnets = ad.load_topk(evalnet_name, n)
+                    create_augment_images_and_masks_with_evalnet_binary(
+                        ev_module, evalnets, im_main, out_main,
+                        channels=c.image_channels, **aug_kwargs)
+                else:
+                    evalnets = ad.load_topk(evalnet_name, n)
+                    create_augment_images_and_masks_with_evalnet_multiclass(
+                        ev_module, evalnets, im_main, out_main,
+                        num_classes=c.num_classes,
+                        channels=c.image_channels, **aug_kwargs)
+                ad.copy_labeled_into(out_main,
+                                     source_main=labeled_source)
+                _train_cell(ad, approach, modelname, out_main,
+                            population=ad.population_gen,
+                            alpha=NS_ALPHAS[gen])
+                write_results_csv(
+                    os.path.join(ad.csv_dir,
+                                 f"mean_im_size_{modelname}.csv"),
+                    ["val_mean_im_size", "test_mean_im_size",
+                     "unlabeled_mean_im_size"], [sizes])

@@ -11,6 +11,17 @@ becoming a K-times-larger batched conv on the MXU.  All candidates consume
 the SAME batch stream (parity: the reference seeds tf.data identically per
 candidate, functions.py:208); diversity comes from per-candidate init seeds.
 
+Multi-chip layout: pass a ``jax.sharding.Mesh``.
+- axes ('model', 'data'): the training step runs under ``jax.shard_map`` —
+  the candidate population is sharded across 'model' (embarrassingly
+  parallel, zero communication) and the batch across 'data' (gradients
+  pmean'd and BatchNorm statistics psum'd over 'data', so global-batch
+  semantics match the reference's single-device batch 32 exactly).
+  GSPMD cannot partition the vmapped grouped convolutions over the
+  population axis, hence the explicit shard_map.
+- axis ('data',) only: plain GSPMD jit with the batch sharded and the
+  population replicated.
+
 Keras-semantics parity:
 - per-epoch validation with best-weights keeping per candidate
   (``save_best_only`` on the monitored metric, strict improvement);
@@ -19,11 +30,6 @@ Keras-semantics parity:
   ``soft_mean_iou`` (custom streaming soft MeanIoU, max — multiclass,
   functions.py:305);
 - AdamW with tfa decoupled decay (optim.py).
-
-Data parallelism: pass a ``jax.sharding.Mesh`` with a ``data`` axis and the
-batch is sharded across it (params/optimizer replicated); XLA turns the BN
-batch statistics into cross-device reductions automatically, so the global
-batch-32 semantics match the reference's single-device batch 32 exactly.
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +69,7 @@ class Monitor:
 
 
 def _resolve_loss(name: str, num_classes: int) -> Callable:
+    """Whole-batch scalar loss."""
     if name == "mse":
         return lambda probs, tgt: losses.mse(tgt, probs)
     if name == "cce":
@@ -71,6 +78,24 @@ def _resolve_loss(name: str, num_classes: int) -> Callable:
             return losses.categorical_crossentropy(onehot, probs)
         return cce
     raise ValueError(f"unknown loss {name!r} (use 'mse' or 'cce')")
+
+
+def _per_sample_loss(name: str, num_classes: int) -> Callable:
+    """(B,)-shaped per-sample loss, for masked validation accumulation."""
+    if name == "mse":
+        def mse_ps(probs, tgt):
+            d = jnp.square(probs.astype(jnp.float32)
+                           - tgt.astype(jnp.float32))
+            return jnp.mean(d, axis=tuple(range(1, d.ndim)))
+        return mse_ps
+
+    def cce_ps(probs, tgt):
+        onehot = jax.nn.one_hot(tgt, num_classes, dtype=jnp.float32)
+        p = jnp.clip(probs.astype(jnp.float32), 1e-7, 1.0)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        per_px = -jnp.sum(onehot * jnp.log(p), axis=-1)
+        return jnp.mean(per_px, axis=tuple(range(1, per_px.ndim)))
+    return cce_ps
 
 
 class PopulationTrainer:
@@ -83,6 +108,7 @@ class PopulationTrainer:
         self.monitor = monitor
         self.num_classes = num_classes
         self.loss_fn = _resolve_loss(loss, num_classes)
+        self.loss_ps_fn = _per_sample_loss(loss, num_classes)
         self.tx = adamw_decoupled(learning_rate, weight_decay)
         self.mesh = mesh
 
@@ -103,33 +129,73 @@ class PopulationTrainer:
             "best_metric": init_metric,
         }
 
+        self._model_axis = None
+        self._data_axis = None
+        self._batch_sharding = None
         if mesh is not None:
-            self._batch_sharding = NamedSharding(mesh, P("data"))
+            if "model" in mesh.axis_names:
+                self._model_axis = "model"
+            if "data" in mesh.axis_names:
+                self._data_axis = "data"
+            self._batch_sharding = NamedSharding(mesh, P(self._data_axis))
             self._replicated = NamedSharding(mesh, P())
-            self.state = jax.device_put(self.state, self._replicated)
-        else:
-            self._batch_sharding = None
+            if self._model_axis:
+                pop_sharding = NamedSharding(mesh, P("model"))
+                self.state = jax.device_put(self.state, pop_sharding)
+            else:
+                self.state = jax.device_put(self.state, self._replicated)
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
-        self._eval_step = jax.jit(self._eval_step_impl)
+        # the module used inside the (possibly sharded) train step: with a
+        # sharded batch under shard_map, BN statistics sync over 'data'
+        if self._model_axis and self._data_axis and hasattr(module,
+                                                            "bn_sync_axis"):
+            import dataclasses
+            self.train_module = dataclasses.replace(module,
+                                                    bn_sync_axis="data")
+        else:
+            self.train_module = module
+
+        if self._model_axis:
+            state_spec = jax.tree.map(lambda _: P("model"), self.state)
+            batch_spec = P(self._data_axis)
+            self._train_step = jax.jit(jax.shard_map(
+                self._train_step_impl, mesh=mesh,
+                in_specs=(state_spec, batch_spec, batch_spec),
+                out_specs=(state_spec, P("model")), check_vma=False),
+                donate_argnums=0)
+            self._eval_step = jax.jit(jax.shard_map(
+                self._eval_step_impl, mesh=mesh,
+                in_specs=(state_spec["params"], state_spec["batch_stats"],
+                          batch_spec, batch_spec, batch_spec,
+                          jax.tree.map(lambda _: P("model"),
+                                       self._zero_acc())),
+                out_specs=jax.tree.map(lambda _: P("model"),
+                                       self._zero_acc()),
+                check_vma=False))
+        else:
+            self._train_step = jax.jit(self._train_step_impl,
+                                       donate_argnums=0)
+            self._eval_step = jax.jit(self._eval_step_impl)
         self._select_best = jax.jit(self._select_best_impl, donate_argnums=0)
 
     # ------------------------------------------------------------------ steps
 
-    def _apply_train(self, params, batch_stats, images, targets):
-        probs, mutated = self.module.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images, train=True, mutable=["batch_stats"])
-        return self.loss_fn(probs, targets), mutated["batch_stats"]
-
     def _train_step_impl(self, state, images, targets):
         def per_model(params, batch_stats, opt_state):
+            def loss_fn(p):
+                probs, mutated = self.train_module.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    images, train=True, mutable=["batch_stats"])
+                return self.loss_fn(probs, targets), mutated["batch_stats"]
+
             (loss_val, new_bs), grads = jax.value_and_grad(
-                self._apply_train, has_aux=True)(
-                    params, batch_stats, images, targets)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
+                loss_fn, has_aux=True)(params)
+            if self._model_axis and self._data_axis:
+                grads = jax.lax.pmean(grads, self._data_axis)
+                loss_val = jax.lax.pmean(loss_val, self._data_axis)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, new_bs, opt_state, loss_val
+            return params, new_bs, new_opt, loss_val
 
         params, batch_stats, opt_state, loss_val = jax.vmap(per_model)(
             state["params"], state["batch_stats"], state["opt_state"])
@@ -142,31 +208,50 @@ class PopulationTrainer:
             {"params": params, "batch_stats": batch_stats},
             images, train=False)
 
-    def _eval_step_impl(self, params, batch_stats, images, targets, acc):
-        """Accumulate the monitored metric over one val batch; acc is a dict
-        of (P,)-shaped accumulators."""
+    def _eval_step_impl(self, params, batch_stats, images, targets, mask,
+                        acc):
+        """Accumulate the monitored metric over one val batch; ``mask`` (B,)
+        marks valid (non-padded) samples."""
         probs = jax.vmap(self._forward_eval, in_axes=(0, 0, None))(
             params, batch_stats, images)          # (P, B, H, W, C)
+        m = mask.astype(jnp.float32)
 
         kind = self.monitor.kind
         if kind == "binary_iou":
-            t = targets.astype(jnp.float32) > 0.5       # (B,H,W,1)
-            p = probs > 0.5
+            valid = m[:, None, None, None] > 0
+            t = jnp.logical_and(targets.astype(jnp.float32) > 0.5, valid)
+            p = jnp.logical_and(probs > 0.5, valid[None])
             inter = jnp.sum(jnp.logical_and(t[None], p), axis=(1, 2, 3, 4))
             union = jnp.sum(jnp.logical_or(t[None], p), axis=(1, 2, 3, 4))
+            inter = inter.astype(jnp.float32)
+            union = union.astype(jnp.float32)
+            if self._model_axis and self._data_axis:
+                inter = jax.lax.psum(inter, self._data_axis)
+                union = jax.lax.psum(union, self._data_axis)
             return {"intersection": acc["intersection"] + inter,
                     "union": acc["union"] + union}
         if kind == "loss":
-            per = jax.vmap(lambda pr: self.loss_fn(pr, targets))(probs)
-            b = images.shape[0]
-            return {"loss_sum": acc["loss_sum"] + per * b,
-                    "count": acc["count"] + b}
+            per = jax.vmap(lambda pr: jnp.sum(
+                self.loss_ps_fn(pr, targets) * m))(probs)
+            cnt = jnp.sum(m)
+            if self._model_axis and self._data_axis:
+                per = jax.lax.psum(per, self._data_axis)
+                cnt = jax.lax.psum(cnt, self._data_axis)
+            return {"loss_sum": acc["loss_sum"] + per,
+                    "count": acc["count"] + cnt}
         if kind == "soft_mean_iou":
             onehot = jax.nn.one_hot(targets, self.num_classes,
                                     dtype=jnp.float32)
-            inter = jnp.sum(onehot[None] * probs, axis=(1, 2, 3))   # (P,C)
-            union = (jnp.sum(onehot, axis=(0, 1, 2))[None]
-                     + jnp.sum(probs, axis=(1, 2, 3)) - inter)
+            onehot = onehot * m[:, None, None, None]
+            probs_m = probs * m[None, :, None, None, None]
+            inter = jnp.sum(onehot[None] * probs_m, axis=(1, 2, 3))  # (P,C)
+            t_sum = jnp.sum(onehot, axis=(0, 1, 2))[None]
+            p_sum = jnp.sum(probs_m, axis=(1, 2, 3))
+            if self._model_axis and self._data_axis:
+                inter = jax.lax.psum(inter, self._data_axis)
+                t_sum = jax.lax.psum(t_sum, self._data_axis)
+                p_sum = jax.lax.psum(p_sum, self._data_axis)
+            union = t_sum + p_sum - inter
             iou = jnp.mean(inter / union, axis=-1)                   # (P,)
             return {"total_iou": acc["total_iou"] + iou,
                     "count": acc["count"] + 1.0}
@@ -209,28 +294,43 @@ class PopulationTrainer:
 
     # ------------------------------------------------------------------- API
 
+    def _pad_to_mesh(self, images, targets):
+        """Pad batch (with a validity mask) to a multiple of the data axis."""
+        b = images.shape[0]
+        mask = np.ones((b,), np.float32)
+        if self.mesh is not None and self._data_axis:
+            n = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape))["data"]
+            pad = (-b) % n
+            if pad:
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:],
+                                      images.dtype)])
+                if targets is not None:
+                    targets = np.concatenate(
+                        [targets, np.zeros((pad,) + targets.shape[1:],
+                                           targets.dtype)])
+                mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
+        return images, targets, mask
+
     def _put_batch(self, images, targets):
         images = jnp.asarray(images)
         targets = None if targets is None else jnp.asarray(targets)
         if self._batch_sharding is not None:
-            # Shard over the data axis when the batch divides the mesh;
-            # replicate otherwise (remainder validation batches).
-            n_dev = self.mesh.devices.size
-            sh = (self._batch_sharding if images.shape[0] % n_dev == 0
-                  else self._replicated)
-            images = jax.device_put(images, sh)
+            images = jax.device_put(images, self._batch_sharding)
             if targets is not None:
-                targets = jax.device_put(targets, sh)
+                targets = jax.device_put(targets, self._batch_sharding)
         return images, targets
 
     def evaluate(self, val_ds: Dataset, batch_size: int = 32) -> np.ndarray:
         """Monitored metric per candidate over the validation set."""
         acc = self._zero_acc()
         for images, targets in eval_batches(val_ds, batch_size):
+            images, targets, mask = self._pad_to_mesh(images, targets)
             images, targets = self._put_batch(images, targets)
             acc = self._eval_step(self.state["params"],
                                   self.state["batch_stats"],
-                                  images, targets, acc)
+                                  images, targets, jnp.asarray(mask), acc)
         return np.asarray(self._metric_result(acc))
 
     def fit(self, train_ds: Dataset, val_ds: Dataset, *, epochs: int,
