@@ -45,7 +45,7 @@ def main() -> None:
     from inconsistencymasks_tpu.train.population import init_population
 
     H = W = 256
-    BATCH = 64
+    BATCH = 128
     K = 2
 
     module = UNet(num_classes=1, alpha=0.5, activation="relu",

@@ -444,3 +444,58 @@ def create_training_data_evalnet_miou_im_hela(
             cursor += b
 
     _append_labels(main_output_path, rows)
+
+
+def create_training_data_evalnet_miou_hela(
+        module, variables, bf_images_path: str, gt_main_path: str,
+        main_output_path: str, i: int, *, threshold: float = 0.5,
+        include_pos: bool = True, batch_size: int = 32) -> None:
+    """HeLa checkpoint-model datagen (reference functions.py:4011-4243
+    ``create_training_data_evalnet_miou_hela[_no_pos]``): one trained model
+    predicts each brightfield image; thresholded channel masks are saved as
+    ``{stem}___{i}.png`` per channel with per-channel IoU-vs-gt + detection
+    labels; loop 0 copies the GT channel sets with labels 1.0."""
+    forward = _forward(module)
+    chans = ("brightfield", "alive", "dead", "mod_position")
+    for sub in chans:
+        os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
+    ds = load_images(bf_images_path, 1)
+    gts = {c: load_images(os.path.join(gt_main_path, c), 1, names=ds.names)
+           for c in chans[1:]}
+
+    rows = []
+    cursor = 0
+    for images, _ in eval_batches(ds, batch_size):
+        probs = forward(variables, jnp.asarray(images))
+        preds = np.asarray(((probs > threshold) * 255).astype(jnp.uint8))
+        b = preds.shape[0]
+        gt_stack = np.stack(
+            [gts[c].images[cursor:cursor + b, ..., 0] for c in chans[1:]],
+            axis=-1)                                        # (B,H,W,3)
+        inter = ((preds > 0) & (gt_stack > 0)).sum(axis=(1, 2))
+        union = ((preds > 0) | (gt_stack > 0)).sum(axis=(1, 2))
+        ious = inter / (union + 1e-7)                       # (B,3)
+        det = ((gt_stack > 0).sum(axis=(1, 2)) > 0).astype(np.float32)
+        n_ch = 3 if include_pos else 2
+        for j in range(b):
+            name = _pred_name(ds.names[cursor + j], i)
+            for ci, c in enumerate(chans[1:]):
+                cv2.imwrite(os.path.join(main_output_path, c, name),
+                            preds[j, ..., ci])
+            rows.append((name,
+                         *[round(float(v), 4) for v in ious[j, :n_ch]],
+                         *[int(v) for v in det[j, :n_ch]]))
+        cursor += b
+
+    if i == 0:
+        for name in ds.names:
+            rows.append((name, *([1.0] * (3 if include_pos else 2)),
+                         *([1] * (3 if include_pos else 2))))
+            for c in chans:
+                src_dir = (bf_images_path if c == "brightfield"
+                           else os.path.join(gt_main_path, c))
+                src = os.path.join(src_dir, name)
+                if os.path.exists(src):
+                    shutil.copy(src,
+                                os.path.join(main_output_path, c, name))
+    _append_labels(main_output_path, rows)

@@ -232,6 +232,22 @@ def make_adapter(key: str, config_path: Optional[str] = None,
     return ad
 
 
+
+
+def cell_done(ad: DatasetAdapter, modelname: str) -> bool:
+    """Crash-resume: a grid cell is complete when its results CSV and topK-1
+    checkpoint both exist (SURVEY.md section 5: the reference's recovery
+    model is rerun-the-script; we add artifact-keyed skipping so reruns
+    resume at the first unfinished cell).  Disable with IM_NO_RESUME=1."""
+    if os.environ.get("IM_NO_RESUME") == "1":
+        return False
+    done = (os.path.isfile(os.path.join(ad.csv_dir,
+                                        f"results_{modelname}.csv"))
+            and os.path.isfile(ad.topk_path(modelname, 1)))
+    if done and ad.log:
+        ad.log(f"[resume] skipping completed cell {modelname}")
+    return done
+
 # ==========================================================================
 # core helper: one training cell (population -> benchmarks -> topK -> CSV)
 # ==========================================================================
@@ -267,6 +283,8 @@ def run_supervised_stage(ad: DatasetAdapter, approach: str,
     os.makedirs(ad.model_dir, exist_ok=True)
     for runid in ad.runids:
         modelname = f"{ad.prefix}_{approach}_{runid}"
+        if cell_done(ad, modelname):
+            continue
         _train_cell(ad, approach, modelname, train_main,
                     population=ad.population_first)
 
@@ -450,6 +468,8 @@ def run_im_stage(ad: DatasetAdapter, approach: str = "IM",
             for gen in ad.gens:
                 modelname = (f"{ad.prefix}_{approach}_{runid}_n{n}"
                              f"_gen{gen}{suffix}")
+                if cell_done(ad, modelname):
+                    continue
                 teacher_name = _teacher_names(ad, approach, runid, gen, n,
                                               suffix, seed_approach)
                 teachers = ad.load_topk(teacher_name, n)
@@ -477,6 +497,8 @@ def run_model_ensemble_stage(ad: DatasetAdapter) -> None:
         for n in ad.n_values:
             for gen in ad.gens:
                 modelname = f"{ad.prefix}_{approach}_{runid}_n{n}_gen{gen}"
+                if cell_done(ad, modelname):
+                    continue
                 teacher_name = _teacher_names(ad, approach, runid, gen, n)
                 teachers = ad.load_topk(teacher_name, n)
                 for split in ("val", "test", "unlabeled"):
@@ -515,6 +537,8 @@ def run_input_ensemble_stage(ad: DatasetAdapter,
         for n in n_views:
             for gen in ad.gens:
                 modelname = f"{ad.prefix}_{approach}_{runid}_n{n}_gen{gen}"
+                if cell_done(ad, modelname):
+                    continue
                 teacher_name = _teacher_names(ad, approach, runid, gen, n)
                 teacher = ad.load_topk(teacher_name, 1)[0]
                 for split in ("val", "test", "unlabeled"):
@@ -552,6 +576,8 @@ def run_noisy_student_stage(ad: DatasetAdapter) -> None:
     for runid in ad.runids:
         for gen in ad.gens:
             modelname = f"{ad.prefix}_{approach}_{runid}_gen{gen}"
+            if cell_done(ad, modelname):
+                continue
             teacher_name = _teacher_names(ad, approach, runid, gen, None)
             teacher = ad.load_topk(teacher_name, 1)[0]
             out = ad.pred_dir("unlabeled", modelname, approach)
@@ -600,6 +626,8 @@ def run_im_plus_stage(ad: DatasetAdapter, approach: str = "IM_plus",
             for gen in ad.gens:
                 modelname = (f"{ad.prefix}_{approach}_{runid}_n{n}"
                              f"_gen{gen}{suffix}")
+                if cell_done(ad, modelname):
+                    continue
                 teacher_name = _teacher_names(ad, approach, runid, gen, n,
                                               suffix, seed_approach)
                 teachers = ad.load_topk(teacher_name, n)
@@ -830,6 +858,8 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
         for n in ad.n_values:
             for gen in ad.gens:
                 modelname = f"{ad.prefix}_{seg_approach}_{runid}_n{n}_gen{gen}"
+                if cell_done(ad, modelname):
+                    continue
                 evalnets = ad.load_topk(evalnet_name, evalnet_count or n)
                 pseudo_main = ad.pred_dir("unlabeled", modelname,
                                           seg_approach)
@@ -904,6 +934,8 @@ def run_im_plus_plus_stage(ad: DatasetAdapter,
             for gen in ad.gens:
                 modelname = (f"{ad.prefix}_{approach}_{runid}_n{n}"
                              f"_gen{gen}{suffix}")
+                if cell_done(ad, modelname):
+                    continue
                 teacher_name = _teacher_names(ad, approach, runid, gen, n,
                                               suffix, seed_approach)
                 teachers = ad.load_topk(teacher_name, n)

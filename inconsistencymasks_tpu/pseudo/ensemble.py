@@ -56,7 +56,7 @@ def _hela_soft(probs, threshold):
 
 def create_pseudo_labels_model_ensemble_binary(
         module, models: Sequence, images_dir: str, main_output_path: str, *,
-        channels: int = 3, threshold: float = 0.5, batch_size: int = 32,
+        channels: int = 3, threshold: float = 0.5, batch_size: int = 128,
         ensemble: Optional[StackedEnsemble] = None) -> None:
     ens = ensemble or StackedEnsemble(module, models)
     ds = load_images(images_dir, channels)
@@ -78,7 +78,7 @@ def create_pseudo_labels_model_ensemble_binary(
 
 def create_pseudo_labels_model_ensemble_multiclass(
         module, models: Sequence, images_dir: str, main_output_path: str, *,
-        channels: int = 3, soft: bool = True, batch_size: int = 32,
+        channels: int = 3, soft: bool = True, batch_size: int = 128,
         ensemble: Optional[StackedEnsemble] = None) -> None:
     ens = ensemble or StackedEnsemble(module, models)
     ds = load_images(images_dir, channels)
@@ -102,7 +102,7 @@ def create_pseudo_labels_model_ensemble_multiclass(
 def create_pseudo_labels_model_ensemble_hela(
         module, models: Sequence, bf_images_dir: str, main_output_path: str,
         *, threshold: float = 0.5, max_pos_circle_size: int = 8,
-        min_pos_circle_size: int = 3, batch_size: int = 32,
+        min_pos_circle_size: int = 3, batch_size: int = 128,
         ensemble: Optional[StackedEnsemble] = None) -> None:
     ens = ensemble or StackedEnsemble(module, models)
     ds = load_images(bf_images_dir, 1)

@@ -52,7 +52,7 @@ def create_pseudo_labels_im_binary(
         channels: int = 3, threshold: float = 0.5, erode_kernel: int = 0,
         dilate_kernel: int = 0, block_input: bool = True,
         block_output: bool = True, filter_bad_predictions: bool = True,
-        batch_size: int = 32, ensemble: Optional[StackedEnsemble] = None
+        batch_size: int = 128, ensemble: Optional[StackedEnsemble] = None
 ) -> float:
     """ISIC-style IM generation.  Returns mean IM size (rounded, reference
     functions.py:2889)."""
@@ -126,7 +126,7 @@ def create_pseudo_labels_im_multiclass(
         num_classes: int, channels: int = 3, erode_kernel: int = 0,
         dilate_kernel: int = 0, block_input: bool = True,
         block_output: bool = True, filter_unequal_class_pred: bool = False,
-        batch_size: int = 32, ensemble: Optional[StackedEnsemble] = None
+        batch_size: int = 128, ensemble: Optional[StackedEnsemble] = None
 ) -> float:
     """SUIM/Cityscapes IM generation (reference functions.py:2988-3070)."""
     ens = ensemble or StackedEnsemble(module, models)
@@ -190,7 +190,7 @@ def create_pseudo_labels_im_hela(
         threshold: float = 0.5, erode_kernel: int = 0, dilate_kernel: int = 0,
         block_input: bool = True, block_output: bool = True,
         max_pos_circle_size: int = 8, min_pos_circle_size: int = 3,
-        batch_size: int = 32, ensemble: Optional[StackedEnsemble] = None
+        batch_size: int = 128, ensemble: Optional[StackedEnsemble] = None
 ) -> float:
     """HeLa IM generation (reference functions.py:2895-2984): fused
     per-channel IM on device; position-circle redraw on host (contours)."""

@@ -84,7 +84,7 @@ def create_pseudo_labels_input_ensemble_binary(
         channels: int = 3, n: int = 2, use_n_rnd_transformations: bool = True,
         threshold: float = 0.5, max_blur: int = 3, max_noise: int = 25,
         brightness_range_alpha=(0.5, 1.5), brightness_range_beta=(-25, 25),
-        batch_size: int = 16, seed: int = 0) -> None:
+        batch_size: int = 64, seed: int = 0) -> None:
     """ISIC input ensemble (reference functions.py:1992-2036)."""
     forward = _forward(module)
     ds = load_images(images_dir, channels)
@@ -156,7 +156,7 @@ def create_pseudo_labels_input_ensemble_multiclass(
         module, variables, images_dir: str, main_output_path: str, *,
         channels: int = 3, n: int = 2, max_blur: int = 1, max_noise: int = 15,
         brightness_range_alpha=(0.7, 1.3), brightness_range_beta=(-15, 15),
-        batch_size: int = 16, seed: int = 0) -> None:
+        batch_size: int = 64, seed: int = 0) -> None:
     """Soft-voted multiclass TTA (reference functions.py:2365-2403)."""
     forward = _forward(module)
     ds = load_images(images_dir, channels)
@@ -192,7 +192,7 @@ def create_pseudo_labels_input_ensemble_hela(
         max_blur: int = 1, max_noise: int = 15,
         brightness_range_alpha=(0.7, 1.3), brightness_range_beta=(-15, 15),
         max_pos_circle_size: int = 8, min_pos_circle_size: int = 3,
-        batch_size: int = 16, seed: int = 0) -> None:
+        batch_size: int = 64, seed: int = 0) -> None:
     """HeLa TTA, soft or hard voting (reference functions.py:2221-2360)."""
     forward = _forward(module)
     ds = load_images(bf_images_dir, 1)

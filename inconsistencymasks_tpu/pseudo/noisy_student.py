@@ -49,7 +49,7 @@ def create_pseudo_labels_noisy_student_binary(
         channels: int = 3, threshold: float = 0.5,
         brightness_range_alpha=(0.5, 1.5), brightness_range_beta=(-25, 25),
         max_blur: int = 3, max_noise: int = 25, free_rotation: bool = True,
-        batch_size: int = 32, seed: int = 0) -> None:
+        batch_size: int = 128, seed: int = 0) -> None:
     ds = load_images(images_dir, channels)
     for sub in ("images", "masks"):
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
@@ -85,7 +85,7 @@ def create_pseudo_labels_noisy_student_multiclass(
         channels: int = 3, brightness_range_alpha=(0.5, 1.5),
         brightness_range_beta=(-25, 25), max_blur: int = 3,
         max_noise: int = 25, free_rotation: bool = True,
-        batch_size: int = 32, seed: int = 0) -> None:
+        batch_size: int = 128, seed: int = 0) -> None:
     ds = load_images(images_dir, channels)
     for sub in ("images", "masks"):
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
@@ -122,7 +122,7 @@ def create_pseudo_labels_noisy_student_hela(
         brightness_range_beta=(-25, 25), max_blur: int = 3,
         max_noise: int = 25, free_rotation: bool = True,
         max_pos_circle_size: int = 8, min_pos_circle_size: int = 3,
-        batch_size: int = 32, seed: int = 0) -> None:
+        batch_size: int = 128, seed: int = 0) -> None:
     """HeLa: augment FLOAT channel predictions jointly with the image,
     threshold afterwards, redraw position circles, suffix ``_aug``
     (reference functions.py:3294-3367)."""
