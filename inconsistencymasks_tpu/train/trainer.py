@@ -155,6 +155,9 @@ class PopulationTrainer:
         else:
             self.train_module = module
 
+        self._train_step_gather = jax.jit(self._train_step_gather_impl,
+                                          donate_argnums=0)
+
         if self._model_axis:
             state_spec = jax.tree.map(lambda _: P("model"), self.state)
             batch_spec = P(self._data_axis)
@@ -202,6 +205,14 @@ class PopulationTrainer:
         state = dict(state, params=params, batch_stats=batch_stats,
                      opt_state=opt_state)
         return state, loss_val
+
+    def _train_step_gather_impl(self, state, images_all, targets_all, idx):
+        """Device-cache path: the whole training set lives in HBM and each
+        step gathers its batch by indices — the host ships only (B,) int32
+        per step instead of megabytes of pixels."""
+        images = jnp.take(images_all, idx, axis=0)
+        targets = jnp.take(targets_all, idx, axis=0)
+        return self._train_step_impl(state, images, targets)
 
     def _forward_eval(self, params, batch_stats, images):
         return self.module.apply(
@@ -341,23 +352,55 @@ class PopulationTrainer:
         keeping.  Returns the per-epoch metric history (epochs, P)."""
         if steps_per_epoch is None:
             steps_per_epoch = max(len(train_ds) // batch_size, 1)
-        stream = stream_batches(train_ds, batch_size, seed)
+
+        # Device-resident dataset cache (single-chip path): keep the whole
+        # training set in HBM and gather batches by index on device — the
+        # per-step host->device transfer drops from the full batch to (B,)
+        # int32.  The sharded-mesh path keeps the host stream (batches must
+        # arrive sharded over the data axis).
+        cache_bytes = train_ds.images.nbytes + (
+            train_ds.targets.nbytes if train_ds.targets is not None else 0)
+        use_cache = self.mesh is None and cache_bytes < 2 * 1024 ** 3
+        if use_cache:
+            images_all = jnp.asarray(train_ds.images)
+            targets_all = jnp.asarray(train_ds.targets)
+            idx_rng = np.random.RandomState(seed)
+            idx_buf: list = []
+
+            def next_idx():
+                while len(idx_buf) < batch_size:
+                    idx_buf.extend(idx_rng.permutation(len(train_ds)
+                                                       ).tolist())
+                out = np.asarray(idx_buf[:batch_size], np.int32)
+                del idx_buf[:batch_size]
+                return out
+        else:
+            stream = stream_batches(train_ds, batch_size, seed)
         history = []
         for epoch in range(epochs):
             t0 = time.time()
-            running = 0.0
+            # accumulate the loss ON DEVICE — a per-step host fetch would
+            # serialize dispatch (and costs a full round trip per step on
+            # remote backends); one fetch per epoch instead
+            loss_vals = []
             for _ in range(steps_per_epoch):
-                images, targets = next(stream)
-                images, targets = self._put_batch(images, targets)
-                self.state, loss_val = self._train_step(self.state, images,
-                                                        targets)
-                running += float(jnp.mean(loss_val))
+                if use_cache:
+                    self.state, loss_val = self._train_step_gather(
+                        self.state, images_all, targets_all,
+                        jnp.asarray(next_idx()))
+                else:
+                    images, targets = next(stream)
+                    images, targets = self._put_batch(images, targets)
+                    self.state, loss_val = self._train_step(self.state,
+                                                            images, targets)
+                loss_vals.append(jnp.mean(loss_val))
             metric = self.evaluate(val_ds, batch_size)
             self.state = self._select_best(self.state, jnp.asarray(metric))
             history.append(metric)
             if log:
+                running = float(jnp.mean(jnp.stack(loss_vals)))
                 log(f"epoch {epoch + 1}/{epochs} "
-                    f"loss {running / steps_per_epoch:.4f} "
+                    f"loss {running:.4f} "
                     f"val_{self.monitor.kind} "
                     f"{np.array2string(metric, precision=4)} "
                     f"({time.time() - t0:.1f}s)")
