@@ -118,7 +118,12 @@ def create_training_data_evalnet_multiclass(module, variables,
                                             main_output_path: str, i: int, *,
                                             num_classes: int,
                                             channels: int = 3,
+                                            classwise_labels: bool = False,
                                             batch_size: int = 32) -> None:
+    """classwise_labels=True is the reference's mIoU checkpoint datagen
+    (functions.py:4248-4323): rows carry per-class IoU + per-class
+    detection (>1 % coverage rule) instead of one scalar."""
+    from .labels import compute_classwise_detection
     forward = _forward(module)
     for sub in ("images", "masks"):
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
@@ -131,18 +136,39 @@ def create_training_data_evalnet_multiclass(module, variables,
         probs = forward(variables, jnp.asarray(images))
         preds = np.asarray(jnp.argmax(probs, axis=-1).astype(jnp.uint8))
         gts = gt.images[cursor:cursor + preds.shape[0], ..., 0]
-        ious = np.asarray(metrics.iou_multi_unique(
-            jnp.asarray(preds.astype(np.int32)),
-            jnp.asarray(gts.astype(np.int32)), num_classes))
+        pred_i = jnp.asarray(preds.astype(np.int32))
+        gt_i = jnp.asarray(gts.astype(np.int32))
+        if classwise_labels:
+            cw = np.asarray(compute_classwise_iou(pred_i, gt_i,
+                                                  num_classes))
+            det = np.asarray(compute_classwise_detection(gt_i, num_classes))
+        else:
+            ious = np.asarray(metrics.iou_multi_unique(pred_i, gt_i,
+                                                       num_classes))
         for j in range(preds.shape[0]):
             name = _pred_name(ds.names[cursor + j], i)
             cv2.imwrite(os.path.join(main_output_path, "masks", name),
                         preds[j])
-            rows.append((name, round(float(ious[j]), 4)))
+            if classwise_labels:
+                rows.append((name, *[round(float(v), 4) for v in cw[j]],
+                             *[int(v) for v in det[j]]))
+            else:
+                rows.append((name, round(float(ious[j]), 4)))
         cursor += preds.shape[0]
 
     if i == 0:
-        _copy_gt_pairs(images_path, masks_path, main_output_path, rows)
+        if classwise_labels:
+            for imagename in list_pngs(images_path):
+                rows.append((imagename, *([1.0] * num_classes),
+                             *([1] * num_classes)))
+                shutil.copy(os.path.join(images_path, imagename),
+                            os.path.join(main_output_path, "images",
+                                         imagename))
+                shutil.copy(os.path.join(masks_path, imagename),
+                            os.path.join(main_output_path, "masks",
+                                         imagename))
+        else:
+            _copy_gt_pairs(images_path, masks_path, main_output_path, rows)
     _append_labels(main_output_path, rows)
 
 

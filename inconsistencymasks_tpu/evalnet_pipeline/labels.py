@@ -75,6 +75,7 @@ def compute_classwise_confluence(gt, num_classes):
 @jax.jit
 def get_confluence_binary(gt):
     """Foreground proportion of a {0,1} mask (functions.py:4382-4396)."""
+    import math
     axes = tuple(range(1, gt.ndim))
-    return jnp.sum(gt.astype(jnp.float32), axis=axes) / float(
-        jnp.prod(jnp.asarray(gt.shape[1:])))
+    return jnp.sum(gt.astype(jnp.float32), axis=axes) / math.prod(
+        gt.shape[1:])

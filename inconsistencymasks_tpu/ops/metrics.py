@@ -110,9 +110,10 @@ def dice_binary(gt: jnp.ndarray, pred: jnp.ndarray, smooth: float = 1.0,
 
 def pixel_accuracy(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     """reference functions.py:1820-1834."""
+    import math
     axes = tuple(range(1, pred.ndim)) if pred.ndim > 2 else None
     correct = jnp.sum((pred == gt).astype(jnp.float32), axis=axes)
-    total = float(jnp.prod(jnp.asarray(gt.shape[1:] if axes else gt.shape)))
+    total = math.prod(gt.shape[1:] if axes else gt.shape)
     return correct / total
 
 

@@ -836,17 +836,20 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
                         os.path.join(ad.val_dir, "masks"), val_main, i,
                         channels=c.image_channels)
                 elif ad.kind == "multiclass":
+                    # the mIoU EvalNet needs classwise labels (reference
+                    # create_training_data_evalnet_miou_multiclass,
+                    # functions.py:4248-4323)
                     create_training_data_evalnet_multiclass(
                         module, tv,
                         os.path.join(ad.train_labeled_dir, "images"),
                         os.path.join(ad.train_labeled_dir, "masks"),
                         train_main, i, num_classes=c.num_classes,
-                        channels=c.image_channels)
+                        channels=c.image_channels, classwise_labels=True)
                     create_training_data_evalnet_multiclass(
                         module, tv, os.path.join(ad.val_dir, "images"),
                         os.path.join(ad.val_dir, "masks"), val_main, i,
                         num_classes=c.num_classes,
-                        channels=c.image_channels)
+                        channels=c.image_channels, classwise_labels=True)
             if ad.kind == "hela":
                 # HeLa uses the mIoU-IM datagen for its evalnet (reference
                 # 10_HeLa_evalnet_miou_ensemble.py)
