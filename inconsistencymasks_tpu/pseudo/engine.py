@@ -6,6 +6,11 @@ model.predict([prepared_image])``).  Here the K members' parameters are
 STACKED on a leading axis and one vmapped, jitted program evaluates all K
 over a whole batch — K identical convs become one K-times-larger batched
 conv on the MXU, and downstream IM math fuses into the same XLA program.
+
+Multi-chip: pass a ``jax.sharding.Mesh`` with a ``data`` axis and the image
+batch is sharded across it (parameters replicated — the models are tiny);
+XLA partitions the whole fused program data-parallel over ICI with no code
+changes downstream.
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.checkpoint import stack_variables
 
@@ -21,7 +27,8 @@ from ..train.checkpoint import stack_variables
 class StackedEnsemble:
     """K same-architecture models with a stacked-parameters layout."""
 
-    def __init__(self, module, variables: Sequence | object):
+    def __init__(self, module, variables: Sequence | object,
+                 mesh: Optional[Mesh] = None):
         self.module = module
         if isinstance(variables, (list, tuple)):
             self.size = len(variables)
@@ -29,6 +36,13 @@ class StackedEnsemble:
         else:
             self.stacked = variables
             self.size = jax.tree.leaves(variables)[0].shape[0]
+        self.mesh = mesh
+        if mesh is not None and "data" in mesh.axis_names:
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self.stacked = jax.device_put(self.stacked,
+                                          NamedSharding(mesh, P()))
+        else:
+            self._batch_sharding = None
         self._predict = jax.jit(self._predict_impl)
 
     def _predict_impl(self, stacked, images):
@@ -36,9 +50,20 @@ class StackedEnsemble:
             lambda v: self.module.apply(v, images, train=False),
             in_axes=0)(stacked)
 
+    def _put(self, images: jnp.ndarray) -> jnp.ndarray:
+        images = jnp.asarray(images)
+        if self._batch_sharding is not None:
+            n = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape))["data"]
+            sh = (self._batch_sharding if images.shape[0] % n == 0
+                  else NamedSharding(self.mesh, P()))
+            images = jax.device_put(images, sh)
+        return images
+
     def predict_probs(self, images: jnp.ndarray) -> jnp.ndarray:
-        """(B, H, W, C) uint8 -> (K, B, H, W, Cout) float32 probabilities."""
-        return self._predict(self.stacked, images)
+        """(B, H, W, C) uint8 -> (K, B, H, W, Cout) float32 probabilities,
+        data-parallel over the mesh's 'data' axis when one is attached."""
+        return self._predict(self.stacked, self._put(images))
 
     def member(self, i: int):
         """Single member's variables (unstacked view)."""

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..data.loader import Dataset, eval_batches, list_pngs, load_images
 from ..ops import im_core, morphology
+from ..utils.io_pool import AsyncWriter
 from ..postproc.hela import get_min_dist, get_pos_contours
 from .engine import StackedEnsemble
 
@@ -64,31 +65,33 @@ def create_pseudo_labels_im_binary(
 
     im_sizes = {}
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
-        images_j = jnp.asarray(images)
-        probs = ens.predict_probs(images_j)
-        img_b, mask_b, im, im_size, pred_size = _fused_im_binary(
-            probs, images_j, threshold, erode_kernel, dilate_kernel,
-            block_input, block_output)
-        img_b = np.asarray(img_b)
-        mask_b = np.asarray(mask_b)
-        im = np.asarray(im)
-        im_size = np.asarray(im_size)
-        pred_size = np.asarray(pred_size)
-        for i in range(img_b.shape[0]):
-            name = ds.names[cursor + i]
-            im_sizes[name[:-4]] = int(im_size[i])
-            write = (pred_size[i] > im_size[i] > 0
-                     if filter_bad_predictions else True)
-            if write:
-                bgr = (cv2.cvtColor(img_b[i], cv2.COLOR_RGB2BGR)
-                       if channels == 3 else img_b[i])
-                cv2.imwrite(os.path.join(main_output_path, "images", name),
-                            bgr)
-                cv2.imwrite(os.path.join(main_output_path, "masks", name),
-                            mask_b[i, ..., 0])
-            cv2.imwrite(os.path.join(main_output_path, "im", name), im[i])
-        cursor += img_b.shape[0]
+    with AsyncWriter() as w:
+        for images, _ in eval_batches(ds, batch_size):
+            images_j = jnp.asarray(images)
+            probs = ens.predict_probs(images_j)
+            img_b, mask_b, im, im_size, pred_size = _fused_im_binary(
+                probs, images_j, threshold, erode_kernel, dilate_kernel,
+                block_input, block_output)
+            img_b = np.asarray(img_b)
+            mask_b = np.asarray(mask_b)
+            im = np.asarray(im)
+            im_size = np.asarray(im_size)
+            pred_size = np.asarray(pred_size)
+            for i in range(img_b.shape[0]):
+                name = ds.names[cursor + i]
+                im_sizes[name[:-4]] = int(im_size[i])
+                write = (pred_size[i] > im_size[i] > 0
+                         if filter_bad_predictions else True)
+                if write:
+                    bgr = (cv2.cvtColor(img_b[i], cv2.COLOR_RGB2BGR)
+                           if channels == 3 else img_b[i])
+                    w.imwrite(os.path.join(main_output_path, "images",
+                                           name), bgr)
+                    w.imwrite(os.path.join(main_output_path, "masks",
+                                           name), mask_b[i, ..., 0])
+                w.imwrite(os.path.join(main_output_path, "im", name),
+                          im[i])
+            cursor += img_b.shape[0]
 
     return round(sum(im_sizes.values()) / len(im_sizes), 0)
 
