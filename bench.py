@@ -57,10 +57,12 @@ def main() -> None:
     images = jnp.asarray(images_np)
 
     # ---------------------------------------------------------------- fused
+    from inconsistencymasks_tpu.ops.unroll import unrolled_map
+
     @jax.jit
     def fused(stacked, images):
-        probs = jax.vmap(lambda v: module.apply(v, images, train=False)
-                         )(stacked)
+        probs = unrolled_map(
+            lambda v: module.apply(v, images, train=False), stacked)
         masks = im_core.probs_to_binary_masks(probs, 0.5)
         out = im_core.binary_im(masks)
         im = morphology.dilate(out.im, 3)

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..data.loader import list_pngs
 from ..ops import augment
+from ..ops.unroll import unrolled_map
 from ..pseudo.engine import StackedEnsemble
 
 _SCORE_CACHE: dict = {}
@@ -38,8 +39,8 @@ _SCORE_CACHE: dict = {}
 def _scorer(module):
     fn = _SCORE_CACHE.get(module)
     if fn is None:
-        fn = jax.jit(lambda stacked, imgs, masks: jax.vmap(
-            lambda v: module.apply(v, imgs, masks, train=False))(stacked))
+        fn = jax.jit(lambda stacked, imgs, masks: unrolled_map(
+            lambda v: module.apply(v, imgs, masks, train=False), stacked))
         _SCORE_CACHE[module] = fn
     return fn
 

@@ -32,6 +32,7 @@ import numpy as np
 
 from ..data.loader import list_pngs
 from ..postproc.hela import get_min_dist, get_pos_contours
+from ..ops.unroll import unrolled_map
 from ..pseudo.engine import StackedEnsemble
 
 _SCORE_CACHE: dict = {}
@@ -44,7 +45,7 @@ def _scorer(module, two_head: bool):
         def score(stacked_vars, images, masks):
             def per_model(v):
                 return module.apply(v, images, masks, train=False)
-            return jax.vmap(per_model)(stacked_vars)
+            return unrolled_map(per_model, stacked_vars)
         fn = jax.jit(score)
         _SCORE_CACHE[key] = fn
     return fn

@@ -23,6 +23,7 @@ import numpy as np
 import optax
 
 from ..ops import losses
+from ..ops.unroll import unrolled_map
 from ..train.optim import adamw_decoupled
 from .dataset import EvalNetDataset
 
@@ -73,9 +74,9 @@ class EvalNetTrainer:
             return (optax.apply_updates(params, updates), new_bs, opt_state,
                     l)
 
-        params, bs, opt, l = jax.vmap(per_model)(
-            state["params"], state["batch_stats"], state["opt_state"],
-            images, masks, iou_t, det_t)
+        params, bs, opt, l = unrolled_map(
+            per_model, state["params"], state["batch_stats"],
+            state["opt_state"], images, masks, iou_t, det_t)
         return dict(state, params=params, batch_stats=bs, opt_state=opt), l
 
     def _eval_step_impl(self, params, batch_stats, images, masks, iou_t,
@@ -90,7 +91,7 @@ class EvalNetTrainer:
                         + losses.binary_crossentropy(det_t, det_p))
             return losses.mae(iou_t.reshape(out.shape), out)
 
-        vals = jax.vmap(per_model)(params, batch_stats)     # (P,)
+        vals = unrolled_map(per_model, params, batch_stats)  # (P,)
         b = images.shape[0]
         return {"sum": acc["sum"] + vals * b, "count": acc["count"] + b}
 

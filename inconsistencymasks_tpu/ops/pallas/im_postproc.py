@@ -30,8 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(probs_ref, images_ref, thr_ref,
-            img_out_ref, mask_out_ref, im_out_ref, im_size_ref,
-            pred_size_ref, *, k: int, dilate: bool):
+            img_out_ref, mask_out_ref, im_out_ref, im_raw_ref,
+            *, k: int, dilate: bool):
     # probs_ref: (1, K, H, W) f32;  images_ref: (1, H, W, C) u8
     thr = thr_ref[0]
     votes = jnp.zeros(probs_ref.shape[2:], jnp.int32)          # (H, W)
@@ -39,31 +39,32 @@ def _kernel(probs_ref, images_ref, thr_ref,
         votes = votes + (probs_ref[0, i] > thr).astype(jnp.int32)
     pred = (votes == k)
     im = jnp.logical_and(votes != 0, votes != k)
+    # pre-morphology IM (for the size statistics, reduced outside — TPU
+    # Pallas does not allow (1,1) blocked scalar outputs)
+    im_raw_ref[0] = im.astype(jnp.uint8)
 
-    im_size_ref[0, 0] = jnp.sum(im.astype(jnp.int32))
-    pred_size_ref[0, 0] = jnp.sum(pred.astype(jnp.int32))
-
-    im_f = im.astype(jnp.float32)
+    im_i = im.astype(jnp.int32)
     if dilate:
-        # 3x3 dilation with zero border: max over the 9 shifts.  Shifts are
-        # built from jnp.pad + static slices so edges see zeros (cv2's
-        # dilate border = -inf == 0 for binary masks).
-        h, w = im_f.shape
-        padded = jnp.pad(im_f, ((1, 1), (1, 1)))
-        out = im_f
-        for di in range(3):
-            for dj in range(3):
-                if di == 1 and dj == 1:
-                    continue
-                out = jnp.maximum(out, padded[di:di + h, dj:dj + w])
-        im_f = out
+        # separable 3x3 dilation with zero border (cv2 parity: dilate's
+        # border identity is -inf == 0 for binary masks): 1-D max over rows
+        # then over columns — fewer live temporaries than the 9-shift form
+        # (keeps the kernel inside the 16 MB VMEM scoped-stack budget).
+        h, w = im_i.shape
+        p = jnp.pad(im_i, ((1, 1), (0, 0)))
+        im_i = jnp.maximum(jnp.maximum(p[0:h], p[1:h + 1]), p[2:h + 2])
+        p = jnp.pad(im_i, ((0, 0), (1, 1)))
+        im_i = jnp.maximum(jnp.maximum(p[:, 0:w], p[:, 1:w + 1]),
+                           p[:, 2:w + 2])
 
-    hole = im_f > 0
-    img = images_ref[0]                                        # (H, W, C)
-    img_out_ref[0] = jnp.where(hole[..., None], jnp.uint8(0), img)
-    mask_out_ref[0] = jnp.where(hole, jnp.uint8(0),
-                                pred.astype(jnp.uint8) * 255)
-    im_out_ref[0] = (im_f > 0).astype(jnp.uint8) * 255
+    hole = im_i > 0
+    # Mosaic restriction: minor-dim-inserting broadcasts are only supported
+    # for 32-bit types, so the masked multiply runs in int32.
+    keep_i32 = 1 - hole.astype(jnp.int32)                      # (H, W)
+    img_i32 = images_ref[0].astype(jnp.int32)                  # (H, W, C)
+    img_out_ref[0] = (img_i32 * keep_i32[..., None]).astype(jnp.uint8)
+    mask_out_ref[0] = (pred.astype(jnp.int32) * keep_i32 * 255
+                       ).astype(jnp.uint8)
+    im_out_ref[0] = (hole.astype(jnp.int32) * 255).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit,
@@ -83,15 +84,26 @@ def fused_im_postprocess_binary(probs, images, threshold,
     probs_bk = jnp.moveaxis(probs[..., 0], 0, 1)               # (B, K, H, W)
     thr = jnp.full((1,), threshold, jnp.float32)
 
+    # Mosaic's scoped-VMEM accounting grows with the grid size for this
+    # kernel; chunk the batch so each pallas_call stays within the 16 MB
+    # stack budget.
+    chunk = 8
+    if b > chunk and b % chunk == 0:
+        outs = [fused_im_postprocess_binary(
+            probs[:, s:s + chunk], images[s:s + chunk], threshold,
+            dilate_3x3=dilate_3x3, interpret=interpret)
+            for s in range(0, b, chunk)]
+        return tuple(jnp.concatenate([o[i] for o in outs])
+                     for i in range(5))
+
     kernel = functools.partial(_kernel, k=k, dilate=dilate_3x3)
     out_shapes = (
         jax.ShapeDtypeStruct((b, h, w, c), jnp.uint8),
         jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
         jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
-        jax.ShapeDtypeStruct((b, 1), jnp.int32),
-        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
     )
-    img_b, mask_b, im, im_size, pred_size = pl.pallas_call(
+    img_b, mask_b, im, im_raw = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
@@ -108,12 +120,18 @@ def fused_im_postprocess_binary(probs, images, threshold,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(probs_bk, images, thr)
-    return img_b, mask_b, im, im_size[:, 0], pred_size[:, 0]
+    # size statistics: cheap XLA reductions over the pre-morphology IM and
+    # the unanimity mask (recovered from mask_b OR'd with the dilated holes
+    # is lossy, so recompute pred from probs — elementwise, fuses away)
+    im_size = jnp.sum(im_raw.astype(jnp.int32), axis=(1, 2))
+    votes = jnp.sum(probs_bk > threshold, axis=1)
+    pred_size = jnp.sum((votes == k).astype(jnp.int32), axis=(1, 2))
+    return img_b, mask_b, im, im_size, pred_size

@@ -92,10 +92,12 @@ def create_pseudo_labels_im_depth(module, models: Sequence,
     for sub in ("images", "depth_maps", "im"):
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
 
+    from ..ops.unroll import unrolled_map
+
     @jax.jit
     def fused(stacked, images):
-        preds = jax.vmap(lambda v: module.apply(v, images, train=False)
-                         )(stacked)
+        preds = unrolled_map(
+            lambda v: module.apply(v, images, train=False), stacked)
         im = depth_im(preds, threshold_multiplier)
         mean_depth = jnp.mean(preds, axis=0)[..., 0]
         hole = im > 0

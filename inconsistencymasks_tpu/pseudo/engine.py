@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.unroll import unrolled_map
 from ..train.checkpoint import stack_variables
 
 
@@ -46,9 +47,10 @@ class StackedEnsemble:
         self._predict = jax.jit(self._predict_impl)
 
     def _predict_impl(self, stacked, images):
-        return jax.vmap(
-            lambda v: self.module.apply(v, images, train=False),
-            in_axes=0)(stacked)
+        # static unroll over the K members (see ops/unroll.py: ~2.4x faster
+        # than vmap's grouped-conv lowering on TPU)
+        return unrolled_map(
+            lambda v: self.module.apply(v, images, train=False), stacked)
 
     def _put(self, images: jnp.ndarray) -> jnp.ndarray:
         images = jnp.asarray(images)

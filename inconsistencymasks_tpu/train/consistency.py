@@ -27,6 +27,7 @@ import optax
 
 from ..data.loader import Dataset, eval_batches, stream_batches
 from ..ops import augment, losses
+from ..ops.unroll import unrolled_map
 from .optim import adamw_decoupled
 
 
@@ -76,9 +77,9 @@ class ConsistencyTrainer:
             updates, opt_state = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), bs, opt_state, l
 
-        p, bs, o, l = jax.vmap(per_model)(state["params"],
-                                          state["batch_stats"],
-                                          state["opt_state"])
+        p, bs, o, l = unrolled_map(per_model, state["params"],
+                                   state["batch_stats"],
+                                   state["opt_state"])
         return dict(state, params=p, batch_stats=bs, opt_state=o), l
 
     def _cons_step_impl(self, state, images, rng):
@@ -109,9 +110,9 @@ class ConsistencyTrainer:
             updates, opt_state = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), bs, opt_state, l
 
-        p, bs, o, l = jax.vmap(per_model)(state["params"],
-                                          state["batch_stats"],
-                                          state["opt_state"], cand_keys)
+        p, bs, o, l = unrolled_map(per_model, state["params"],
+                                   state["batch_stats"],
+                                   state["opt_state"], cand_keys)
         return dict(state, params=p, batch_stats=bs, opt_state=o), l
 
     def _val_step_impl(self, params, batch_stats, images, targets, acc):
@@ -121,7 +122,7 @@ class ConsistencyTrainer:
                 train=False)
             return self._loss(probs, targets)
 
-        vals = jax.vmap(per_model)(params, batch_stats)
+        vals = unrolled_map(per_model, params, batch_stats)
         b = images.shape[0]
         return {"sum": acc["sum"] + vals * b, "count": acc["count"] + b}
 

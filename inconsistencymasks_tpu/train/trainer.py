@@ -47,6 +47,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.loader import Dataset, eval_batches, stream_batches
 from ..ops import losses
+from ..ops.unroll import unrolled_map
 from .optim import adamw_decoupled
 
 
@@ -200,8 +201,9 @@ class PopulationTrainer:
             params = optax.apply_updates(params, updates)
             return params, new_bs, new_opt, loss_val
 
-        params, batch_stats, opt_state, loss_val = jax.vmap(per_model)(
-            state["params"], state["batch_stats"], state["opt_state"])
+        params, batch_stats, opt_state, loss_val = unrolled_map(
+            per_model, state["params"], state["batch_stats"],
+            state["opt_state"])
         state = dict(state, params=params, batch_stats=batch_stats,
                      opt_state=opt_state)
         return state, loss_val
@@ -223,8 +225,9 @@ class PopulationTrainer:
                         acc):
         """Accumulate the monitored metric over one val batch; ``mask`` (B,)
         marks valid (non-padded) samples."""
-        probs = jax.vmap(self._forward_eval, in_axes=(0, 0, None))(
-            params, batch_stats, images)          # (P, B, H, W, C)
+        probs = unrolled_map(
+            lambda p, bs: self._forward_eval(p, bs, images),
+            params, batch_stats)                  # (P, B, H, W, C)
         m = mask.astype(jnp.float32)
 
         kind = self.monitor.kind

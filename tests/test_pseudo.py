@@ -165,3 +165,24 @@ def test_stacked_ensemble_matches_individual(tmp_path):
         single = np.asarray(jax.jit(
             lambda v, x: m.apply(v, x, train=False))(models[k], x))
         assert np.allclose(fused[k], single, atol=1e-5)
+
+
+def test_im_binary_deterministic(tmp_path):
+    """Two runs over the same inputs produce byte-identical PNGs (the
+    deterministic IM path is the bit-for-bit parity surface)."""
+    import hashlib
+    m, models, images_dir = _binary_setup(tmp_path)
+    outs = []
+    for run in ("a", "b"):
+        out = str(tmp_path / f"det_{run}")
+        create_pseudo_labels_im_binary(m, models, images_dir, out,
+                                       filter_bad_predictions=False,
+                                       batch_size=3)
+        digest = {}
+        for sub in ("images", "masks", "im"):
+            for n in list_pngs(os.path.join(out, sub)):
+                with open(os.path.join(out, sub, n), "rb") as f:
+                    digest[f"{sub}/{n}"] = hashlib.sha256(
+                        f.read()).hexdigest()
+        outs.append(digest)
+    assert outs[0] == outs[1]
