@@ -19,23 +19,37 @@ from jax import lax
 
 
 def _pool(x: jnp.ndarray, kernel: int, is_max: bool) -> jnp.ndarray:
-    """Same-size min/max pool over the last two ... (H, W) axes."""
+    """Same-size min/max pool over the last two ... (H, W) axes.
+
+    Implemented as SEPARABLE 1-D pools built from padded static slices —
+    measured slightly faster than ``lax.reduce_window`` on TPU and fuses
+    better into surrounding elementwise programs.  Padding uses the pool's
+    identity element (cv2 border parity: erode pads +inf, dilate -inf)."""
     if kernel <= 0:
         return x
-    window = (1,) * (x.ndim - 2) + (kernel, kernel)
-    strides = (1,) * x.ndim
-    pad = kernel // 2
-    padding = [(0, 0)] * (x.ndim - 2) + [(pad, kernel - 1 - pad)] * 2
     if is_max:
-        init, op = -jnp.inf, lax.max
-        if jnp.issubdtype(x.dtype, jnp.integer):
-            init = jnp.iinfo(x.dtype).min
+        ident = (jnp.iinfo(x.dtype).min
+                 if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf)
+        combine = jnp.maximum
     else:
-        init, op = jnp.inf, lax.min
-        if jnp.issubdtype(x.dtype, jnp.integer):
-            init = jnp.iinfo(x.dtype).max
-    return lax.reduce_window(x, jnp.asarray(init, x.dtype), op,
-                             window, strides, padding)
+        ident = (jnp.iinfo(x.dtype).max
+                 if jnp.issubdtype(x.dtype, jnp.integer) else jnp.inf)
+        combine = jnp.minimum
+    lo = kernel // 2
+    hi = kernel - 1 - lo
+
+    def pool_axis(v, axis):
+        pad_width = [(0, 0)] * v.ndim
+        pad_width[axis] = (lo, hi)
+        p = jnp.pad(v, pad_width, constant_values=ident)
+        size = v.shape[axis]
+        out = lax.slice_in_dim(p, 0, size, axis=axis)
+        for s in range(1, kernel):
+            out = combine(out, lax.slice_in_dim(p, s, s + size, axis=axis))
+        return out
+
+    x = pool_axis(x, x.ndim - 2)
+    return pool_axis(x, x.ndim - 1)
 
 
 def erode(mask: jnp.ndarray, kernel: int) -> jnp.ndarray:

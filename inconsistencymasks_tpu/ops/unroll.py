@@ -1,13 +1,12 @@
 """Static population unrolling.
 
 Measured on TPU v5e: ``jax.vmap`` over a stacked-parameters axis lowers
-convolutions to grouped/batched conv kernels that run ~2-14x SLOWER than
-the same P convolutions written out separately in one XLA program (XLA
-schedules the independent convs concurrently on the MXU; the grouped
-lowering serializes).  Full U-Net forward, K=2/B=128/256^2: vmap 8.99 ms,
-unrolled 3.67 ms.  So every population hot path unrolls statically instead
-of vmapping; population sizes are small (2-10) and static, so compile cost
-is modest.
+convolutions to grouped/batched conv kernels ~20-25 % slower than the same
+P convolutions written out separately in one XLA program (full IM pipeline
+K=2/B=128/256^2: vmap 9.26 ms vs unrolled 7.36 ms; population train step
+pop5/b32: 135 ms vs 113 ms).  So every population hot path unrolls
+statically instead of vmapping; population sizes are small (2-10) and
+static, so compile cost is modest.
 """
 
 from __future__ import annotations
