@@ -44,6 +44,11 @@ def load_variables(path: str, template: Optional[Any] = None
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
+            if magic.startswith(b"\x89HDF"):
+                raise ValueError(
+                    f"{path} is a Keras HDF5 checkpoint (reference format); "
+                    "import it with train.keras_import."
+                    "keras_h5_to_unet_variables(path, template)")
             raise ValueError(f"{path} is not an inconsistencymasks_tpu "
                              f"checkpoint (bad magic {magic!r})")
         (hlen,) = struct.unpack("<Q", f.read(8))
