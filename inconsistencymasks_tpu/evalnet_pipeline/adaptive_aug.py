@@ -21,7 +21,7 @@ computed over classes present in gt, with IM (class-0) pixels excluded.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import cv2
 import jax

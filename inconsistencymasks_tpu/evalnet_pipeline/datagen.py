@@ -28,7 +28,7 @@ import csv
 import os
 import shutil
 from functools import partial
-from typing import Optional, Sequence
+from typing import Sequence
 
 import cv2
 import jax

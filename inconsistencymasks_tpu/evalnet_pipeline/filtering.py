@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Optional, Sequence
+from typing import Sequence
 
 import cv2
 import jax

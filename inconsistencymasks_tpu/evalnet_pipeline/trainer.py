@@ -15,7 +15,6 @@ BCE(detection head) (reference functions.py:4706, 4758).
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ topK selection and CSV outputs are comparable digit-for-digit.
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional
 
 import cv2

@@ -33,8 +33,6 @@ import shutil
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
-import numpy as np
-
 from .config import DatasetConfig, load_config
 from .data.loader import (Dataset, list_pngs, load_hela_dataset,
                           load_image_mask_dataset)
@@ -154,7 +152,6 @@ class DatasetAdapter:
 
 def make_adapter(key: str, config_path: Optional[str] = None,
                  **overrides) -> DatasetAdapter:
-    from . import paths as P
     fw = load_config(config_path)
     if key == "isic":
         cfg = fw.isic_2018

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Optional
 
 import cv2
 import jax

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import Dataset, eval_batches, list_pngs
-from ..ops import losses
 from .engine import StackedEnsemble
 
 

@@ -15,7 +15,6 @@ XLA program per batch.
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional, Sequence
 
 import cv2

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.loader import Dataset, eval_batches, list_pngs, load_images
+from ..data.loader import eval_batches, load_images
 from ..ops import im_core, morphology
 from ..utils.io_pool import AsyncWriter
 from ..postproc.hela import get_min_dist, get_pos_contours

@@ -13,8 +13,6 @@ augments the raw float channel predictions and thresholds AFTER augmentation
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Optional
 
 import cv2
 import jax

@@ -17,7 +17,6 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import serialization
 
 _MAGIC = b"IMTPU001"

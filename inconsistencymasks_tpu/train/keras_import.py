@@ -23,7 +23,7 @@ real TF-generated files need a TF environment.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -20,9 +20,8 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
-import numpy as np
 from jax.sharding import Mesh
 
 from .config import DatasetConfig
