@@ -1,0 +1,44 @@
+"""Packed-population forward == unrolled per-model forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from inconsistencymasks_tpu.models.packed_unet import packed_unet_forward
+from inconsistencymasks_tpu.models.unet import UNet
+from inconsistencymasks_tpu.train.population import init_population
+from inconsistencymasks_tpu.ops.unroll import unrolled_map
+
+
+@pytest.mark.parametrize("max_packed_width", [128, 64, 10 ** 9])
+def test_packed_matches_unrolled(rng, max_packed_width):
+    p = 3
+    m = UNet(num_classes=1, alpha=0.25, activation="relu",
+             out_activation="sigmoid")
+    stacked = init_population(m, 32, 32, 3, p, base_seed=5)
+    x = jnp.asarray(rng.randint(0, 255, (2, 32, 32, 3)).astype(np.uint8))
+
+    ref = np.asarray(jax.jit(lambda s, x: unrolled_map(
+        lambda v: m.apply(v, x, train=False), s))(stacked, x))
+    packed = np.asarray(packed_unet_forward(
+        stacked, x, num_classes=1, activation="relu",
+        out_activation="sigmoid", max_packed_width=max_packed_width))
+    assert packed.shape == ref.shape
+    np.testing.assert_allclose(packed, ref, atol=3e-2)  # bf16 order effects
+    # the probabilities agree tightly on average
+    assert float(np.mean(np.abs(packed - ref))) < 2e-3
+
+
+def test_packed_multiclass(rng):
+    p = 2
+    m = UNet(num_classes=5, alpha=0.25, activation="relu",
+             out_activation="softmax")
+    stacked = init_population(m, 32, 32, 3, p, base_seed=1)
+    x = jnp.asarray(rng.randint(0, 255, (2, 32, 32, 3)).astype(np.uint8))
+    ref = np.asarray(jax.jit(lambda s, x: unrolled_map(
+        lambda v: m.apply(v, x, train=False), s))(stacked, x))
+    packed = np.asarray(packed_unet_forward(
+        stacked, x, num_classes=5, activation="relu",
+        out_activation="softmax"))
+    np.testing.assert_allclose(packed, ref, atol=3e-2)
