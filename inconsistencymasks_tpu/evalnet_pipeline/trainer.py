@@ -80,17 +80,32 @@ class EvalNetTrainer:
 
     def _eval_step_impl(self, params, batch_stats, images, masks, iou_t,
                         det_t, acc):
+        """Accumulate ALL reported val metrics per candidate.
+
+        Reference reporting (preserved in the results CSV):
+        - single-head: (mse, mae), checkpoint monitored on val MAE
+          (reference functions.py:4493-4495);
+        - two-head: (total_loss, iou_loss, detection_loss, iou_mae,
+          detection_acc), monitored on val total loss (reference
+          functions.py:4758-4774)."""
         def per_model(params, batch_stats):
             out = self.module.apply(
                 {"params": params, "batch_stats": batch_stats},
                 images, masks, train=False)
             if self.two_head:
                 iou_p, det_p = out
-                return (losses.mse(iou_t, iou_p)
-                        + losses.binary_crossentropy(det_t, det_p))
-            return losses.mae(iou_t.reshape(out.shape), out)
+                iou_loss = losses.mse(iou_t, iou_p)
+                det_loss = losses.binary_crossentropy(det_t, det_p)
+                iou_mae = losses.mae(iou_t, iou_p)
+                det_acc = jnp.mean(
+                    ((det_p > 0.5).astype(jnp.float32) == det_t)
+                    .astype(jnp.float32))
+                return jnp.stack([iou_loss + det_loss, iou_loss, det_loss,
+                                  iou_mae, det_acc])
+            t = iou_t.reshape(out.shape)
+            return jnp.stack([losses.mse(t, out), losses.mae(t, out)])
 
-        vals = unrolled_map(per_model, params, batch_stats)  # (P,)
+        vals = unrolled_map(per_model, params, batch_stats)  # (P, ncols)
         b = images.shape[0]
         return {"sum": acc["sum"] + vals * b, "count": acc["count"] + b}
 
@@ -119,9 +134,24 @@ class EvalNetTrainer:
                 jnp.asarray(iou, jnp.float32),
                 jnp.asarray(det, jnp.float32))
 
+    @property
+    def metric_names(self) -> list:
+        """Column names of :meth:`evaluate` / :attr:`best_rows` (reference
+        CSV headers, ISIC_2018/12:138 and functions.py:4661)."""
+        if self.two_head:
+            return ["total_loss", "iou_loss", "detection_loss", "iou_mae",
+                    "detection_acc"]
+        return ["mse", "mae"]
+
+    # monitored column: val MAE (single-head, functions.py:4495) /
+    # val total loss (two-head, functions.py:4760)
+    _MONITOR_COL = {False: 1, True: 0}
+
     def evaluate(self, val_ds: EvalNetDataset, batch_size: int = 32
                  ) -> np.ndarray:
-        acc = {"sum": jnp.zeros((self.population,)),
+        """Per-candidate val metrics, shape (P, ncols)."""
+        ncols = len(self.metric_names)
+        acc = {"sum": jnp.zeros((self.population, ncols)),
                "count": jnp.zeros(())}
         n = len(val_ds)
         if n < batch_size:
@@ -142,6 +172,8 @@ class EvalNetTrainer:
                 for p in range(self.population)]
         orders = [r.permutation(len(train_ds)) for r in rngs]
         cursors = [0] * self.population
+        ncols = len(self.metric_names)
+        self.best_rows = np.full((self.population, ncols), np.inf)
         history = []
         for epoch in range(epochs):
             t0 = time.time()
@@ -161,7 +193,10 @@ class EvalNetTrainer:
                 det = jnp.stack([b[3] for b in per_model_batches])
                 self.state, _ = self._train_step(self.state, imgs, masks,
                                                  iou, det)
-            metric = self.evaluate(val_ds, batch_size)
+            rows = self.evaluate(val_ds, batch_size)
+            metric = rows[:, self._MONITOR_COL[self.two_head]]
+            improved = metric < np.asarray(self.state["best_metric"])
+            self.best_rows[improved] = rows[improved]
             self.state = self._select(self.state, jnp.asarray(metric))
             history.append(metric)
             if log:

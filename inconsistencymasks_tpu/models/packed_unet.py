@@ -1,5 +1,5 @@
-"""Packed-population U-Net forward: P candidate models evaluated as ONE
-network over a channel-packed layout.
+"""Packed-population U-Net: P candidate models evaluated as ONE network
+over a channel-packed layout — inference AND training.
 
 Motivation (ROADMAP.md #1, measured on v5e): the alpha<=0.5 U-Net's
 channels (8..128) badly under-fill the 128-lane MXU, and both vmapped and
@@ -7,34 +7,35 @@ unrolled per-model convs pay that padding P times.  Packing the P models'
 channels contiguously — activations (B, H, W, P*C), weights block-diagonal
 (kh, kw, P*Cin, P*Cout) — lets one MXU pass compute all P models:
 1.4-2.5x faster for 1x1 convs and 1.2-1.4x for 3x3 convs at C<=16, but
-SLOWER once P*C exceeds ~128.  This module therefore packs HYBRIDLY: levels
-whose packed width P*C stays within ``max_packed_width`` run packed; wider
-levels fall back to per-model unrolled convs (XLA fuses the pack/unpack
-reshapes at the transitions).
+SLOWER once P*C exceeds ~128-256.  This module therefore packs HYBRIDLY:
+levels whose packed width P*C stays within ``max_packed_width`` run packed;
+wider levels fall back to per-model unrolled convs (XLA fuses the
+pack/unpack reshapes at the transitions).
 
-Semantics: numerically equivalent to the unrolled per-model forward (same
-stacked variables from ``init_population``) — BatchNorm statistics are
-per-(model, channel) because channel-wise affine/statistics on the packed
-layout ARE per-model statistics.  Equivalence is asserted in
-tests/test_packed_unet.py; inference-only for now (training support =
-round 2).
+Training support: the block-diagonal construction is a gather/scatter, so
+autodiff flows through it — the gradient of a packed conv w.r.t. the
+stacked kernel is the diagonal-block slice of the dense packed-kernel
+gradient.  BatchNorm batch statistics on the packed layout are per packed
+channel, i.e. per (model, channel) — identical to per-model BN — computed
+in float32 exactly like ``flax.linen.BatchNorm`` (mean / E[x^2] with
+optional cross-device pmean over a data axis, biased variance, running
+averages with momentum 0.99).  Numerical equivalence with the unrolled
+per-model forward/backward is asserted in tests/test_packed_unet.py.
+
+Replaces the reference's serialized candidate loop
+(reference ISIC_2018/03_ISIC_2018_subset.py:43-104) at the kernel level;
+model semantics follow reference unet.py:4-63.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
-from .unet import BN_EPSILON, resolve_activation
-
-# Layer order of models/unet.py's @nn.compact __call__ (creation == call
-# order).  Each entry: (kind, names...) where conv widths come from the
-# stacked params themselves.
-# encoder block i: conv(ks), conv(1), bn, pool ; bottleneck: conv, conv, bn
-# decoder block: upsample+add, conv(1), bn, conv(ks), conv(1), bn
+from .unet import BN_EPSILON, BN_MOMENTUM, resolve_activation
 
 
 def _block_diag_kernel(stacked_kernel: jnp.ndarray) -> jnp.ndarray:
@@ -70,20 +71,29 @@ def _unrolled_conv(xs, stacked_params, act, dt):
     return outs
 
 
-def _bn_inference_packed(x, stacked_scale, stacked_bias, stacked_mean,
-                         stacked_var, dt):
-    """Channel-wise inference BN on the packed layout: concatenated
-    per-model vectors ARE per-model statistics."""
-    scale = stacked_scale.reshape(-1)
-    bias = stacked_bias.reshape(-1)
-    mean = stacked_mean.reshape(-1)
-    var = stacked_var.reshape(-1)
-    inv = scale / jnp.sqrt(var + BN_EPSILON)
-    return (x - mean.astype(dt)) * inv.astype(dt) + bias.astype(dt)
+def _bn_flat(x, scale, bias, mean, var, dt):
+    """flax-equivalent normalization: float32 math, cast to dt at the end.
+
+    x (..., C) any compute dtype; scale/bias/mean/var (C,) float32."""
+    xf = x.astype(jnp.float32)
+    mul = jax.lax.rsqrt(var + BN_EPSILON) * scale
+    return ((xf - mean) * mul + bias).astype(dt)
+
+
+def _batch_stats_flat(x, bn_sync_axis: Optional[str]):
+    """flax _compute_stats equivalent: float32 mean / E[x^2] over (B,H,W),
+    optionally pmean'd over a sharded-batch mesh axis; biased variance."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 2))
+    mean2 = jnp.mean(xf * xf, axis=(0, 1, 2))
+    if bn_sync_axis is not None:
+        mean, mean2 = jax.lax.pmean((mean, mean2), bn_sync_axis)
+    var = jnp.maximum(0.0, mean2 - mean * mean)
+    return mean, var
 
 
 class _Seq:
-    """Walks Conv_i / BatchNorm_i in call order."""
+    """Walks Conv_i / BatchNorm_i in call order (flax creation order)."""
 
     def __init__(self, params: Dict, batch_stats: Dict):
         self.params = params
@@ -99,24 +109,29 @@ class _Seq:
     def bn(self):
         name = f"BatchNorm_{self.bi}"
         self.bi += 1
-        return (self.params[name]["scale"], self.params[name]["bias"],
-                self.batch_stats[name]["mean"],
-                self.batch_stats[name]["var"])
+        return name, (self.params[name]["scale"],
+                      self.params[name]["bias"],
+                      self.batch_stats[name]["mean"],
+                      self.batch_stats[name]["var"])
 
 
-@functools.partial(jax.jit, static_argnames=("num_classes", "activation",
-                                             "out_activation",
-                                             "max_packed_width",
-                                             "compute_dtype"))
-def packed_unet_forward(stacked_variables: Any, images: jnp.ndarray, *,
-                        num_classes: int, activation: str = "relu",
-                        out_activation: str = "sigmoid",
-                        max_packed_width: int = 128,
-                        compute_dtype: Any = jnp.bfloat16) -> jnp.ndarray:
-    """Inference forward of P stacked U-Nets.
+def packed_unet_apply(stacked_variables: Any, images: jnp.ndarray, *,
+                      train: bool,
+                      num_classes: int, activation: str = "relu",
+                      out_activation: str = "sigmoid",
+                      max_packed_width: int = 128,
+                      compute_dtype: Any = jnp.bfloat16,
+                      bn_sync_axis: Optional[str] = None):
+    """Forward of P stacked U-Nets on one shared image batch.
 
     stacked_variables: the pytree from ``init_population`` (leading P axis);
-    images (B, H, W, C) uint8 -> (P, B, H, W, num_classes) float32 probs.
+    images (B, H, W, C) uint8.
+
+    Returns ``probs`` (P, B, H, W, num_classes) float32 when ``train`` is
+    False, else ``(probs, new_batch_stats)`` where ``new_batch_stats``
+    mirrors the stacked flax ``batch_stats`` collection (running averages
+    advanced one step with momentum 0.99, Keras default — reference
+    unet.py BatchNormalization).
     """
     act = resolve_activation(activation)
     out_act = resolve_activation(out_activation)
@@ -125,6 +140,7 @@ def packed_unet_forward(stacked_variables: Any, images: jnp.ndarray, *,
     stats = stacked_variables["batch_stats"]
     p = params["out"]["kernel"].shape[0]
     seq = _Seq(params, stats)
+    new_stats: Dict[str, Dict[str, jnp.ndarray]] = {}
 
     x0 = images.astype(jnp.float32) / 255.0
     x0 = x0.astype(dt)
@@ -144,26 +160,51 @@ def packed_unet_forward(stacked_variables: Any, images: jnp.ndarray, *,
         return [state[..., i * c:(i + 1) * c] for i in range(p)]
 
     def conv_act(state, conv_p):
-        packed_ok = width_of(conv_p) <= max_packed_width
-        if packed_ok:
-            xp = to_packed(state)
-            return _packed_conv(xp, conv_p, act, dt)
+        if width_of(conv_p) <= max_packed_width:
+            return _packed_conv(to_packed(state), conv_p, act, dt)
         cin = conv_p["kernel"].shape[-2]
-        xs = to_list(state, cin)
-        return _unrolled_conv(xs, conv_p, act, dt)
+        return _unrolled_conv(to_list(state, cin), conv_p, act, dt)
 
     def bn(state):
-        scale, bias, mean, var = seq.bn()
+        name, (scale, bias, ra_mean, ra_var) = seq.bn()
+        # stacked stats are (P, C): flatten for the packed layout
+        s_flat = scale.reshape(-1)
+        b_flat = bias.reshape(-1)
+        if not train:
+            m_flat, v_flat = ra_mean.reshape(-1), ra_var.reshape(-1)
+            if isinstance(state, list):
+                c = state[0].shape[-1]
+                return [_bn_flat(state[i], scale[i], bias[i], ra_mean[i],
+                                 ra_var[i], dt) for i in range(p)]
+            return _bn_flat(state, s_flat, b_flat, m_flat, v_flat, dt)
+
         if isinstance(state, list):
-            return [_bn_inference_packed(state[i], scale[i], bias[i],
-                                         mean[i], var[i], dt)
-                    for i in range(p)]
-        return _bn_inference_packed(state, scale, bias, mean, var, dt)
+            ms, vs, outs = [], [], []
+            for i in range(p):
+                m, v = _batch_stats_flat(state[i], bn_sync_axis)
+                outs.append(_bn_flat(state[i], scale[i], bias[i], m, v, dt))
+                ms.append(m)
+                vs.append(v)
+            batch_mean = jnp.stack(ms)
+            batch_var = jnp.stack(vs)
+            out = outs
+        else:
+            m_flat, v_flat = _batch_stats_flat(state, bn_sync_axis)
+            out = _bn_flat(state, s_flat, b_flat, m_flat, v_flat, dt)
+            batch_mean = m_flat.reshape(ra_mean.shape)
+            batch_var = v_flat.reshape(ra_var.shape)
+        # running averages advance exactly like flax.linen.BatchNorm
+        new_stats[name] = {
+            "mean": BN_MOMENTUM * ra_mean + (1 - BN_MOMENTUM) * batch_mean,
+            "var": BN_MOMENTUM * ra_var + (1 - BN_MOMENTUM) * batch_var,
+        }
+        return out
 
     def pool(state):
+        # scalar -inf init (any dtype): keeps the reduce_window on the
+        # max-monoid autodiff path (flax nn.max_pool does the same)
         f = lambda v: jax.lax.reduce_window(
-            v, -jnp.inf if v.dtype != jnp.bfloat16 else
-            jnp.asarray(-jnp.inf, dt), jax.lax.max,
+            v, -jnp.inf, jax.lax.max,
             (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
         if isinstance(state, list):
             return [f(v) for v in state]
@@ -174,11 +215,9 @@ def packed_unet_forward(stacked_variables: Any, images: jnp.ndarray, *,
             v = jnp.repeat(v, 2, axis=1)
             return jnp.repeat(v, 2, axis=2)
         if isinstance(state, list) or isinstance(skip, list):
-            cin = None
             if not isinstance(state, list):
                 # packed -> list using skip's channel count
-                cin = skip[0].shape[-1]
-                state = to_list(state, cin)
+                state = to_list(state, skip[0].shape[-1])
             if not isinstance(skip, list):
                 skip = to_list(skip, state[0].shape[-1])
             return [up(a) + b for a, b in zip(state, skip)]
@@ -215,7 +254,6 @@ def packed_unet_forward(stacked_variables: Any, images: jnp.ndarray, *,
 
     # ---- output head (f32), per-model
     out_p = params["out"]
-    nc = num_classes
     if isinstance(state, list):
         xs = state
     else:
@@ -229,4 +267,24 @@ def packed_unet_forward(stacked_variables: Any, images: jnp.ndarray, *,
             xs[i].astype(jnp.float32), w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
         outs.append(out_act(y))
-    return jnp.stack(outs)
+    probs = jnp.stack(outs)
+
+    if train:
+        return probs, new_stats
+    return probs
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "activation",
+                                             "out_activation",
+                                             "max_packed_width",
+                                             "compute_dtype"))
+def packed_unet_forward(stacked_variables: Any, images: jnp.ndarray, *,
+                        num_classes: int, activation: str = "relu",
+                        out_activation: str = "sigmoid",
+                        max_packed_width: int = 128,
+                        compute_dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+    """Jitted inference wrapper: (P,B,H,W,num_classes) float32 probs."""
+    return packed_unet_apply(
+        stacked_variables, images, train=False, num_classes=num_classes,
+        activation=activation, out_activation=out_activation,
+        max_packed_width=max_packed_width, compute_dtype=compute_dtype)

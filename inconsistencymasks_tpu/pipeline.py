@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import zlib
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
@@ -55,6 +56,16 @@ CS_MAX_BLURS = [1, 2, 3]
 CS_MAX_NOISES = [10, 17, 25]
 CS_BRIGHTNESS_ALPHAS = [(0.85, 1.15), (0.7, 1.3), (0.5, 1.5)]
 CS_BRIGHTNESS_BETAS = [(-10, 10), (-17, 17), (-25, 25)]
+
+
+def stable_seed(name: str) -> int:
+    """Process-independent candidate seed from a modelname.
+
+    The reference's reproducibility contract is a single global SEED=42
+    (reference config.ini:2) — every rerun must produce the same candidate
+    inits.  Python's ``hash(str)`` is salted per process, so it cannot be
+    used here; CRC32 is stable across processes and platforms."""
+    return zlib.crc32(name.encode("utf-8")) & 0x7FFFFFFF
 
 
 @dataclass
@@ -265,7 +276,7 @@ def _train_cell(ad: DatasetAdapter, approach: str, modelname: str,
         pred_dir_fn=lambda split, mn: ad.pred_dir(split, mn, approach),
         population=population, epochs=ad.epochs,
         steps_per_epoch=steps_per_epoch, mesh=ad.mesh,
-        base_seed=abs(hash(modelname)) % (2 ** 31),
+        base_seed=stable_seed(modelname),
         initial_variables=initial_variables,
         class_to_color=ad.class_to_color, log=ad.log)
 
@@ -707,7 +718,7 @@ def train_evalnet_population(ad: DatasetAdapter, evalnet_name: str,
     stacked = init_population_evalnet(
         module, c.image_height, c.image_width, c.image_channels, cb,
         population=population, identical=True,
-        base_seed=abs(hash(evalnet_name)) % (2 ** 31))
+        base_seed=stable_seed(evalnet_name))
     if ad.kind == "binary":
         train_ds = load_evalnet_dataset_binary(train_main,
                                                c.image_channels)
@@ -727,20 +738,29 @@ def train_evalnet_population(ad: DatasetAdapter, evalnet_name: str,
                 epochs=ad.epochs or d.num_epochs_evalnet,
                 batch_size=d.batch_size_evalnet, seed=d.seed, log=ad.log)
     best = trainer.best_variables()
-    metrics = trainer.best_metrics()
+    # Full best-epoch val metric rows: (mse, mae) single-head / 5-col
+    # two-head (reference ISIC_2018/12:110-119, functions.py:4631-4645).
+    best_rows = trainer.best_rows
     rows = []
     for i, variables in enumerate(best):
         mn = f"{evalnet_name}_{i}"
         save_variables(os.path.join(ad.model_dir, f"{mn}.h5"), variables,
                        {"modelname": mn})
-        rows.append((mn, float(metrics[i]), float(metrics[i])))
-    order = sorted(range(len(rows)), key=lambda i: rows[i][1])
+        rows.append((mn,) + tuple(float(v) for v in best_rows[i]))
+    # rank: val MAE for single-head (12:126 key=x[2]), val total loss for
+    # two-head (functions.py:4649 key=x[1]) — both are column 1 of our
+    # two-head rows and the monitored metric either way.
+    rank_col = 2 if not two_head else 1
+    order = sorted(range(len(rows)), key=lambda i: rows[i][rank_col])
     for rank, idx in enumerate(order[:d.top_ks], start=1):
         os.replace(os.path.join(ad.model_dir, f"{rows[idx][0]}.h5"),
                    ad.topk_path(evalnet_name, rank))
-    write_results_csv(os.path.join(ad.csv_dir,
-                                   f"results_{evalnet_name}.csv"),
-                      ["modelname", "mse", "mae"], rows)
+    # CSV filename quirk preserved: the reference names the file after the
+    # LAST candidate trained in the loop (12:142 / functions.py:4665 use
+    # modelname_evalnet_im, still bound to f'{evalnet_name}_{4}').
+    write_results_csv(
+        os.path.join(ad.csv_dir, f"results_{rows[-1][0]}.csv"),
+        ["modelname"] + trainer.metric_names, rows)
     return [best[i] for i in order]
 
 

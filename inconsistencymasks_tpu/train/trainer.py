@@ -103,7 +103,15 @@ class PopulationTrainer:
 
     def __init__(self, module, stacked_variables, *, loss: str,
                  monitor: Monitor, learning_rate: float, weight_decay: float,
-                 num_classes: int = 1, mesh: Optional[Mesh] = None):
+                 num_classes: int = 1, mesh: Optional[Mesh] = None,
+                 forward: str = "auto", max_packed_width: int = 128):
+        """``forward``: 'packed' | 'unrolled' | 'auto'.
+
+        'packed' runs the population train step on the channel-packed
+        block-diagonal layout (models/packed_unet.py) — one MXU pass
+        computes all P candidates, recovering the lanes the tiny per-model
+        channel counts would waste (ROADMAP.md #1).  'auto' picks packed
+        whenever the module is a dropout-free UNet and P > 1."""
         self.module = module
         self.monitor = monitor
         self.num_classes = num_classes
@@ -111,6 +119,7 @@ class PopulationTrainer:
         self.loss_ps_fn = _per_sample_loss(loss, num_classes)
         self.tx = adamw_decoupled(learning_rate, weight_decay)
         self.mesh = mesh
+        self.max_packed_width = max_packed_width
 
         self.population = jax.tree.leaves(stacked_variables)[0].shape[0]
         params = stacked_variables["params"]
@@ -147,13 +156,28 @@ class PopulationTrainer:
 
         # the module used inside the (possibly sharded) train step: with a
         # sharded batch under shard_map, BN statistics sync over 'data'
-        if self._model_axis and self._data_axis and hasattr(module,
-                                                            "bn_sync_axis"):
+        self._bn_axis = ("data" if self._model_axis and self._data_axis
+                         else None)
+        if self._bn_axis and hasattr(module, "bn_sync_axis"):
             import dataclasses
             self.train_module = dataclasses.replace(module,
                                                     bn_sync_axis="data")
         else:
             self.train_module = module
+
+        from ..models.unet import UNet as _UNet
+        packable = (isinstance(module, _UNet)
+                    and module.dropout_rate_encoder == 0
+                    and module.dropout_rate_decoder == 0
+                    and module.dropout_rate_bottleneck == 0)
+        if forward == "packed" and not packable:
+            raise ValueError("forward='packed' requires a dropout-free UNet")
+        if forward not in ("auto", "packed", "unrolled"):
+            raise ValueError(f"unknown forward mode {forward!r}")
+        self.packed = (forward != "unrolled" and packable
+                       and self.population > 1)
+        self._step_impl = (self._train_step_packed_impl if self.packed
+                           else self._train_step_impl)
 
         self._train_step_gather = jax.jit(self._train_step_gather_impl,
                                           donate_argnums=0)
@@ -162,7 +186,7 @@ class PopulationTrainer:
             state_spec = jax.tree.map(lambda _: P("model"), self.state)
             batch_spec = P(self._data_axis)
             self._train_step = jax.jit(jax.shard_map(
-                self._train_step_impl, mesh=mesh,
+                self._step_impl, mesh=mesh,
                 in_specs=(state_spec, batch_spec, batch_spec),
                 out_specs=(state_spec, P("model")), check_vma=False),
                 donate_argnums=0)
@@ -176,7 +200,7 @@ class PopulationTrainer:
                                        self._zero_acc()),
                 check_vma=False))
         else:
-            self._train_step = jax.jit(self._train_step_impl,
+            self._train_step = jax.jit(self._step_impl,
                                        donate_argnums=0)
             self._eval_step = jax.jit(self._eval_step_impl)
         self._select_best = jax.jit(self._select_best_impl, donate_argnums=0)
@@ -207,13 +231,49 @@ class PopulationTrainer:
                      opt_state=opt_state)
         return state, loss_val
 
+    def _train_step_packed_impl(self, state, images, targets):
+        """Train step on the channel-packed population layout.
+
+        The P candidates are independent, so the gradient of the SUMMED
+        per-model losses w.r.t. the stacked params equals the per-model
+        gradients — one value_and_grad over the whole packed program.
+        Optimizer update stays per-model (elementwise, unrolled)."""
+        from ..models.packed_unet import packed_unet_apply
+        m = self.module
+
+        def loss_fn(params):
+            probs, new_bs = packed_unet_apply(
+                {"params": params, "batch_stats": state["batch_stats"]},
+                images, train=True, num_classes=m.num_classes,
+                activation=m.activation, out_activation=m.out_activation,
+                max_packed_width=self.max_packed_width,
+                compute_dtype=m.compute_dtype, bn_sync_axis=self._bn_axis)
+            per_model = jnp.stack([self.loss_fn(probs[i], targets)
+                                   for i in range(probs.shape[0])])
+            return jnp.sum(per_model), (new_bs, per_model)
+
+        (_, (new_bs, loss_val)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        if self._bn_axis:
+            grads = jax.lax.pmean(grads, self._data_axis)
+            loss_val = jax.lax.pmean(loss_val, self._data_axis)
+
+        def upd(g, o, p):
+            updates, new_o = self.tx.update(g, o, p)
+            return optax.apply_updates(p, updates), new_o
+
+        params, opt_state = unrolled_map(upd, grads, state["opt_state"],
+                                         state["params"])
+        return dict(state, params=params, batch_stats=new_bs,
+                    opt_state=opt_state), loss_val
+
     def _train_step_gather_impl(self, state, images_all, targets_all, idx):
         """Device-cache path: the whole training set lives in HBM and each
         step gathers its batch by indices — the host ships only (B,) int32
         per step instead of megabytes of pixels."""
         images = jnp.take(images_all, idx, axis=0)
         targets = jnp.take(targets_all, idx, axis=0)
-        return self._train_step_impl(state, images, targets)
+        return self._step_impl(state, images, targets)
 
     def _forward_eval(self, params, batch_stats, images):
         return self.module.apply(
