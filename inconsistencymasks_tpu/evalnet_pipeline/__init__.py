@@ -4,6 +4,7 @@ from .labels import (compute_classwise_confluence, compute_classwise_detection,
 from .datagen import (create_training_data_evalnet_binary,
                       create_training_data_evalnet_im_binary,
                       create_training_data_evalnet_im_multiclass,
+                      create_training_data_evalnet_miou_hela,
                       create_training_data_evalnet_miou_im_hela,
                       create_training_data_evalnet_miou_im_multiclass,
                       create_training_data_evalnet_multiclass)
@@ -24,6 +25,7 @@ __all__ = [
     "create_training_data_evalnet_binary",
     "create_training_data_evalnet_im_binary",
     "create_training_data_evalnet_im_multiclass",
+    "create_training_data_evalnet_miou_hela",
     "create_training_data_evalnet_miou_im_hela",
     "create_training_data_evalnet_miou_im_multiclass",
     "create_training_data_evalnet_multiclass",

@@ -472,25 +472,51 @@ def create_training_data_evalnet_miou_im_hela(
     _append_labels(main_output_path, rows)
 
 
+# the reference's per-channel detection rule: a class counts as present
+# when its GT mask covers >= 1 % of the pixels (alive/dead) resp. >= 0.1 %
+# (position) — functions.py:4086-4096
+_HELA_DET_FRACS = (0.01, 0.01, 0.001)
+
+
+def _hela_detection(gt_stack: np.ndarray) -> np.ndarray:
+    """(B,H,W,3) uint8 -> (B,3) float detection flags."""
+    px = gt_stack.shape[1] * gt_stack.shape[2]
+    counts = (gt_stack > 0).sum(axis=(1, 2))
+    thr = np.asarray(_HELA_DET_FRACS) * px
+    return (counts >= thr).astype(np.float32)
+
+
 def create_training_data_evalnet_miou_hela(
         module, variables, bf_images_path: str, gt_main_path: str,
         main_output_path: str, i: int, *, threshold: float = 0.5,
         include_pos: bool = True, batch_size: int = 32) -> None:
     """HeLa checkpoint-model datagen (reference functions.py:4011-4243
-    ``create_training_data_evalnet_miou_hela[_no_pos]``): one trained model
-    predicts each brightfield image; thresholded channel masks are saved as
-    ``{stem}___{i}.png`` per channel with per-channel IoU-vs-gt + detection
-    labels; loop 0 copies the GT channel sets with labels 1.0."""
+    ``create_training_data_evalnet_miou_hela`` / ``include_pos=False`` =
+    ``_no_pos``, vestigial in the reference): one trained model predicts
+    each brightfield image; thresholded channel masks are saved as
+    ``{stem}___{i}.png`` per channel; labels = per-channel (IoU-vs-gt,
+    detection) where detection uses the 1 %/1 %/0.1 % coverage rule and the
+    IoU is forced to 0 for undetected channels (functions.py:4086-4096).
+
+    Loop 0 also copies the GT channel sets — NOTE the reference's GT rows
+    reuse the detection flags of the LAST image processed in the
+    prediction loop (stale-variable quirk, functions.py:4104-4124: the
+    second loop never re-reads the masks), so every GT row gets that one
+    image's (detection, detection-as-iou) values; reproduced here with our
+    deterministic sorted order."""
     forward = _forward(module)
     chans = ("brightfield", "alive", "dead", "mod_position")
-    for sub in chans:
+    out_chans = chans if include_pos else chans[:3]
+    for sub in out_chans:
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
     ds = load_images(bf_images_path, 1)
     gts = {c: load_images(os.path.join(gt_main_path, c), 1, names=ds.names)
            for c in chans[1:]}
 
+    n_ch = 3 if include_pos else 2
     rows = []
     cursor = 0
+    det_last = np.zeros((3,), np.float32)
     for images, _ in eval_batches(ds, batch_size):
         probs = forward(variables, jnp.asarray(images))
         preds = np.asarray(((probs > threshold) * 255).astype(jnp.uint8))
@@ -500,12 +526,12 @@ def create_training_data_evalnet_miou_hela(
             axis=-1)                                        # (B,H,W,3)
         inter = ((preds > 0) & (gt_stack > 0)).sum(axis=(1, 2))
         union = ((preds > 0) | (gt_stack > 0)).sum(axis=(1, 2))
-        ious = inter / (union + 1e-7)                       # (B,3)
-        det = ((gt_stack > 0).sum(axis=(1, 2)) > 0).astype(np.float32)
-        n_ch = 3 if include_pos else 2
+        det = _hela_detection(gt_stack)                     # (B,3)
+        ious = inter / (union + 1e-7) * det                 # 0 if undetected
+        det_last = det[-1]
         for j in range(b):
             name = _pred_name(ds.names[cursor + j], i)
-            for ci, c in enumerate(chans[1:]):
+            for ci, c in enumerate(out_chans[1:]):
                 cv2.imwrite(os.path.join(main_output_path, c, name),
                             preds[j, ..., ci])
             rows.append((name,
@@ -515,9 +541,10 @@ def create_training_data_evalnet_miou_hela(
 
     if i == 0:
         for name in ds.names:
-            rows.append((name, *([1.0] * (3 if include_pos else 2)),
-                         *([1] * (3 if include_pos else 2))))
-            for c in chans:
+            rows.append((name,
+                         *[float(v) for v in det_last[:n_ch]],
+                         *[int(v) for v in det_last[:n_ch]]))
+            for c in out_chans:
                 src_dir = (bf_images_path if c == "brightfield"
                            else os.path.join(gt_main_path, c))
                 src = os.path.join(src_dir, name)

@@ -237,6 +237,18 @@ def make_adapter(key: str, config_path: Optional[str] = None,
 
     for k, v in overrides.items():
         setattr(ad, k, v)
+
+    # Multi-chip wiring (SURVEY.md 2.3): build the device mesh once per
+    # process (IM_MESH env override; all-devices 'data' mesh by default on
+    # multi-chip; None on a single chip) and register it as the process
+    # default so every StackedEnsemble / PopulationTrainer constructed by
+    # the stage runners inherits it.
+    from .parallel import build_mesh, set_default_mesh
+    if ad.mesh is None:
+        ad.mesh = build_mesh()
+    set_default_mesh(ad.mesh)
+    if ad.mesh is not None and ad.log:
+        ad.log(f"[mesh] {dict(zip(ad.mesh.axis_names, ad.mesh.devices.shape))}")
     return ad
 
 
@@ -747,10 +759,21 @@ def train_evalnet_population(ad: DatasetAdapter, evalnet_name: str,
         save_variables(os.path.join(ad.model_dir, f"{mn}.h5"), variables,
                        {"modelname": mn})
         rows.append((mn,) + tuple(float(v) for v in best_rows[i]))
-    # rank: val MAE for single-head (12:126 key=x[2]), val total loss for
-    # two-head (functions.py:4649 key=x[1]) — both are column 1 of our
-    # two-head rows and the monitored metric either way.
-    rank_col = 2 if not two_head else 1
+    # Per-dataset rank column and CSV header, preserving each reference
+    # script's quirks:
+    # - binary: rank by val MAE (ISIC 12:126 key=x[2]);
+    # - hela: rank by iou_mae (HeLa 10:115 key=x[4]); header's last column
+    #   is MISNAMED 'detection_mae' though the value is the detection
+    #   accuracy (HeLa 10:127 vs functions.py:4706 metrics=['acc']);
+    # - multiclass: rank by total loss (functions.py:4649 key=x[1]).
+    if ad.kind == "binary":
+        rank_col, header = 2, ["modelname"] + trainer.metric_names
+    elif ad.kind == "hela":
+        rank_col = 4
+        header = ["modelname", "total_loss", "iou_loss", "detection_loss",
+                  "iou_mae", "detection_mae"]
+    else:
+        rank_col, header = 1, ["modelname"] + trainer.metric_names
     order = sorted(range(len(rows)), key=lambda i: rows[i][rank_col])
     for rank, idx in enumerate(order[:d.top_ks], start=1):
         os.replace(os.path.join(ad.model_dir, f"{rows[idx][0]}.h5"),
@@ -760,7 +783,7 @@ def train_evalnet_population(ad: DatasetAdapter, evalnet_name: str,
     # modelname_evalnet_im, still bound to f'{evalnet_name}_{4}').
     write_results_csv(
         os.path.join(ad.csv_dir, f"results_{rows[-1][0]}.csv"),
-        ["modelname"] + trainer.metric_names, rows)
+        header, rows)
     return [best[i] for i in order]
 
 
@@ -834,13 +857,17 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
         evalnet_name = f"{ad.prefix}_evalnet_{runid}"
         ev_module, two_head = _evalnet_module(ad)
         if train_new_evalnet:
-            # datagen from the 10 subset candidates (pred masks ___i)
-            train_main = os.path.join(ad.base_dir, "evalnet",
+            # datagen from the 10 subset candidates (pred masks ___i);
+            # HeLa's datagen tree lives under 'evalnet_miou_ensemble'
+            # (reference HeLa/10:52-53)
+            tag = "evalnet_miou_ensemble" if ad.kind == "hela" else "evalnet"
+            train_main = os.path.join(ad.base_dir, tag,
                                       f"run_{runid}", "train")
-            val_main = os.path.join(ad.base_dir, "evalnet",
+            val_main = os.path.join(ad.base_dir, tag,
                                     f"run_{runid}", "val")
-            teachers = _gather_candidate_models(
-                ad, f"{ad.prefix}_subset_{runid}")
+            teachers = ([] if ad.kind == "hela" else
+                        _gather_candidate_models(
+                            ad, f"{ad.prefix}_subset_{runid}"))
             for i, tv in enumerate(teachers):
                 if ad.kind == "binary":
                     create_training_data_evalnet_binary(
@@ -868,10 +895,31 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
                         num_classes=c.num_classes,
                         channels=c.image_channels, classwise_labels=True)
             if ad.kind == "hela":
-                # HeLa uses the mIoU-IM datagen for its evalnet (reference
-                # 10_HeLa_evalnet_miou_ensemble.py)
-                train_main, val_main = run_evalnet_datagen(
-                    ad, runid, evalnet_dir_tag="evalnet")
+                # HeLa trains its mIoU EvalNet on plain checkpoint
+                # predictions from BOTH the subset (LDT, loop ids 0..9,
+                # val only for the first 3) and subset_aug (ALDT, ids
+                # 10..19, val for 10..12) candidates — reference
+                # HeLa/10_HeLa_evalnet_miou_ensemble.py:54-91 calling
+                # create_training_data_evalnet_miou_hela
+                # (functions.py:4011-4135).
+                from .evalnet_pipeline import (
+                    create_training_data_evalnet_miou_hela)
+                for fam, start, val_upto in (("subset", 0, 3),
+                                             ("subset_aug", 10, 13)):
+                    fam_teachers = _gather_candidate_models(
+                        ad, f"{ad.prefix}_{fam}_{runid}")
+                    for off, tv in enumerate(fam_teachers):
+                        model_i = start + off
+                        create_training_data_evalnet_miou_hela(
+                            module, tv,
+                            os.path.join(ad.train_labeled_dir,
+                                         "brightfield"),
+                            ad.train_labeled_dir, train_main, model_i)
+                        if model_i < val_upto:
+                            create_training_data_evalnet_miou_hela(
+                                module, tv,
+                                os.path.join(ad.val_dir, "brightfield"),
+                                ad.val_dir, val_main, model_i)
             train_evalnet_population(ad, evalnet_name, train_main,
                                      val_main)
 

@@ -22,14 +22,20 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.unroll import unrolled_map
+from ..parallel import resolve_mesh
 from ..train.checkpoint import stack_variables
 
 
 class StackedEnsemble:
-    """K same-architecture models with a stacked-parameters layout."""
+    """K same-architecture models with a stacked-parameters layout.
+
+    ``mesh=None`` resolves to the process default mesh (parallel.py) — the
+    production pipeline registers one in ``make_adapter``, so every
+    generation/scoring path is data-sharded automatically on multi-chip."""
 
     def __init__(self, module, variables: Sequence | object,
                  mesh: Optional[Mesh] = None):
+        mesh = resolve_mesh(mesh)
         self.module = module
         if isinstance(variables, (list, tuple)):
             self.size = len(variables)

@@ -47,6 +47,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.loader import Dataset, eval_batches, stream_batches
 from ..ops import losses
 from ..ops.unroll import unrolled_map
+from ..parallel import resolve_mesh
 from .optim import adamw_decoupled
 
 
@@ -118,6 +119,7 @@ class PopulationTrainer:
         self.loss_fn = _resolve_loss(loss, num_classes)
         self.loss_ps_fn = _per_sample_loss(loss, num_classes)
         self.tx = adamw_decoupled(learning_rate, weight_decay)
+        mesh = resolve_mesh(mesh)
         self.mesh = mesh
         self.max_packed_width = max_packed_width
 
@@ -144,6 +146,12 @@ class PopulationTrainer:
         if mesh is not None:
             if "model" in mesh.axis_names:
                 self._model_axis = "model"
+                n_model = dict(zip(mesh.axis_names,
+                                   mesh.devices.shape))["model"]
+                if self.population % n_model != 0:
+                    # shard_map needs an even candidate split; fall back to
+                    # data-parallel only (population replicated)
+                    self._model_axis = None
             if "data" in mesh.axis_names:
                 self._data_axis = "data"
             self._batch_sharding = NamedSharding(mesh, P(self._data_axis))
@@ -390,9 +398,13 @@ class PopulationTrainer:
         images = jnp.asarray(images)
         targets = None if targets is None else jnp.asarray(targets)
         if self._batch_sharding is not None:
-            images = jax.device_put(images, self._batch_sharding)
+            n = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape)).get("data", 1)
+            sh = (self._batch_sharding if images.shape[0] % n == 0
+                  else self._replicated)
+            images = jax.device_put(images, sh)
             if targets is not None:
-                targets = jax.device_put(targets, self._batch_sharding)
+                targets = jax.device_put(targets, sh)
         return images, targets
 
     def evaluate(self, val_ds: Dataset, batch_size: int = 32) -> np.ndarray:

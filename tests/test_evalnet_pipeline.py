@@ -134,3 +134,82 @@ def test_gt_oracle_aug(pipeline, tmp_path):
         batch_size=2)
     # perfect IoU -> 5 copies each
     assert len(list_pngs(os.path.join(out, "images"))) == 15
+
+
+def test_hela_checkpoint_miou_datagen(tmp_path):
+    """Reference create_training_data_evalnet_miou_hela semantics
+    (functions.py:4011-4135): ___i pred names per channel dir, labels.csv
+    rows (name, iou_a, iou_d, iou_p, det_a, det_d, det_p) with the
+    1%/1%/0.1% detection rule, IoU zeroed when undetected, i==0 GT copies
+    with the stale-detection quirk."""
+    import csv
+
+    from inconsistencymasks_tpu.data.synthetic import make_hela_dataset
+    from inconsistencymasks_tpu.evalnet_pipeline import (
+        create_training_data_evalnet_miou_hela)
+    from inconsistencymasks_tpu.train.checkpoint import unstack_variables
+
+    tmp = str(tmp_path)
+    make_hela_dataset(tmp, h=64, w=64, n_labeled=5, n_val=2)
+    unet = UNet(num_classes=3, alpha=0.25, activation="relu",
+                out_activation="sigmoid")
+    tv = unstack_variables(init_population(unet, 64, 64, 1, 1), 1)[0]
+    out = os.path.join(tmp, "ev", "train")
+    src = os.path.join(tmp, "train_labeled")
+    create_training_data_evalnet_miou_hela(
+        unet, tv, os.path.join(src, "brightfield"), src, out, 0)
+
+    for chan in ("brightfield", "alive", "dead", "mod_position"):
+        names = list_pngs(os.path.join(out, chan))
+        if chan == "brightfield":
+            # GT copies only (predictions have no brightfield image)
+            assert len(names) == 5
+        else:
+            assert sum("___0" in n for n in names) == 5   # predictions
+            assert len(names) == 10                       # + GT copies
+
+    with open(os.path.join(out, "labels.csv")) as f:
+        rows = list(csv.reader(f, delimiter=";"))
+    assert len(rows) == 10 and all(len(r) == 7 for r in rows)
+    pred_rows = [r for r in rows if "___0" in r[0]]
+    gt_rows = [r for r in rows if "___0" not in r[0]]
+    assert len(pred_rows) == 5 and len(gt_rows) == 5
+    for r in pred_rows:
+        ious = [float(v) for v in r[1:4]]
+        dets = [int(v) for v in r[4:7]]
+        assert set(dets) <= {0, 1}
+        for iou, det in zip(ious, dets):
+            assert 0.0 <= iou <= 1.0
+            if det == 0:
+                assert iou == 0.0     # IoU forced to 0 when undetected
+    # the stale-label quirk: every GT row carries the same flags and
+    # iou == detection
+    assert len({tuple(r[1:]) for r in gt_rows}) == 1
+    for r in gt_rows:
+        assert [float(v) for v in r[1:4]] == [float(v) for v in r[4:7]]
+
+
+def test_hela_checkpoint_miou_datagen_no_pos(tmp_path):
+    """include_pos=False == the reference's vestigial _no_pos variant
+    (functions.py:4138-4243): no mod_position outputs, 5-column rows."""
+    import csv
+
+    from inconsistencymasks_tpu.data.synthetic import make_hela_dataset
+    from inconsistencymasks_tpu.evalnet_pipeline import (
+        create_training_data_evalnet_miou_hela)
+    from inconsistencymasks_tpu.train.checkpoint import unstack_variables
+
+    tmp = str(tmp_path)
+    make_hela_dataset(tmp, h=64, w=64, n_labeled=3, n_val=2)
+    unet = UNet(num_classes=3, alpha=0.25, activation="relu",
+                out_activation="sigmoid")
+    tv = unstack_variables(init_population(unet, 64, 64, 1, 1), 1)[0]
+    out = os.path.join(tmp, "ev2", "train")
+    src = os.path.join(tmp, "train_labeled")
+    create_training_data_evalnet_miou_hela(
+        unet, tv, os.path.join(src, "brightfield"), src, out, 1,
+        include_pos=False)
+    assert not os.path.isdir(os.path.join(out, "mod_position"))
+    with open(os.path.join(out, "labels.csv")) as f:
+        rows = list(csv.reader(f, delimiter=";"))
+    assert len(rows) == 3 and all(len(r) == 5 for r in rows)  # i!=0: no GT
