@@ -1,16 +1,23 @@
 """Packed-population U-Net: P candidate models evaluated as ONE network
 over a channel-packed layout — inference AND training.
 
-Motivation (ROADMAP.md #1, measured on v5e): the alpha<=0.5 U-Net's
-channels (8..128) badly under-fill the 128-lane MXU, and both vmapped and
-unrolled per-model convs pay that padding P times.  Packing the P models'
-channels contiguously — activations (B, H, W, P*C), weights block-diagonal
-(kh, kw, P*Cin, P*Cout) — lets one MXU pass compute all P models:
-1.4-2.5x faster for 1x1 convs and 1.2-1.4x for 3x3 convs at C<=16, but
-SLOWER once P*C exceeds ~128-256.  This module therefore packs HYBRIDLY:
-levels whose packed width P*C stays within ``max_packed_width`` run packed;
-wider levels fall back to per-model unrolled convs (XLA fuses the
-pack/unpack reshapes at the transitions).
+Motivation (ROADMAP.md #1, measured on v5e): XLA pads the channel (lane)
+dimension of every tensor to 128, so a full-resolution op on an
+alpha<=0.5 U-Net level (8..64 channels) costs the same HBM traffic and MXU
+time as a 128-channel op — up to 16x waste, paid per candidate by both the
+vmapped and the unrolled per-model forms.  Packing models' channels
+contiguously — activations (B, H, W, P*C), weights block-diagonal — fills
+the lanes.
+
+GROUP packing: a block-diagonal conv over g models does g x the useful
+FLOPs (the off-diagonal blocks are zeros), while lane padding wastes
+128/(g*C); the break-even group is therefore ``g = target_width // C``
+(target 128).  Each conv partitions the P candidates into consecutive
+groups of that size, so every level runs at ~full lanes with FLOP waste no
+worse than the padding it replaces: at alpha 0.5 the 8-channel level packs
+16 models per MXU pass, the 128-channel level falls back to per-model
+convs — all on ONE packed activation layout (channel-sliced per group,
+group boundaries lane-tile-aligned when C divides 128).
 
 Training support: the block-diagonal construction is a gather/scatter, so
 autodiff flows through it — the gradient of a packed conv w.r.t. the
@@ -20,7 +27,8 @@ channel, i.e. per (model, channel) — identical to per-model BN — computed
 in float32 exactly like ``flax.linen.BatchNorm`` (mean / E[x^2] with
 optional cross-device pmean over a data axis, biased variance, running
 averages with momentum 0.99).  Numerical equivalence with the unrolled
-per-model forward/backward is asserted in tests/test_packed_unet.py.
+per-model forward/backward is asserted in tests/test_packed_unet.py and
+tests/test_packed_train.py.
 
 Replaces the reference's serialized candidate loop
 (reference ISIC_2018/03_ISIC_2018_subset.py:43-104) at the kernel level;
@@ -30,7 +38,7 @@ model semantics follow reference unet.py:4-63.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,37 +46,52 @@ import jax.numpy as jnp
 from .unet import BN_EPSILON, BN_MOMENTUM, resolve_activation
 
 
+def _group_sizes(p: int, width: int, target: int) -> List[int]:
+    """Partition p models into consecutive groups of at most
+    ``max(1, target // width)`` models."""
+    g = max(1, min(p, target // max(width, 1)))
+    sizes = []
+    left = p
+    while left > 0:
+        take = min(g, left)
+        sizes.append(take)
+        left -= take
+    return sizes
+
+
 def _block_diag_kernel(stacked_kernel: jnp.ndarray) -> jnp.ndarray:
-    """(P, kh, kw, Cin, Cout) -> (kh, kw, P*Cin, P*Cout) block-diagonal."""
-    p, kh, kw, cin, cout = stacked_kernel.shape
-    out = jnp.zeros((kh, kw, p * cin, p * cout), stacked_kernel.dtype)
-    for i in range(p):
+    """(g, kh, kw, Cin, Cout) -> (kh, kw, g*Cin, g*Cout) block-diagonal."""
+    g, kh, kw, cin, cout = stacked_kernel.shape
+    if g == 1:
+        return stacked_kernel[0]
+    out = jnp.zeros((kh, kw, g * cin, g * cout), stacked_kernel.dtype)
+    for i in range(g):
         out = out.at[:, :, i * cin:(i + 1) * cin,
                      i * cout:(i + 1) * cout].set(stacked_kernel[i])
     return out
 
 
-def _packed_conv(x, stacked_params, act, dt):
-    """x (B,H,W,P*Cin); stacked_params['kernel'] (P,kh,kw,Cin,Cout)."""
-    w = _block_diag_kernel(stacked_params["kernel"].astype(dt))
-    b = stacked_params["bias"].reshape(-1).astype(dt)       # (P*Cout,)
-    y = jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return act(y + b)
-
-
-def _unrolled_conv(xs, stacked_params, act, dt):
-    """xs: list of P (B,H,W,Cin); per-model convs."""
+def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int
+                  ) -> jnp.ndarray:
+    """x (B,H,W,P*Cin) packed; conv_p['kernel'] (P,kh,kw,Cin,Cout).
+    Runs the P models' convs as group-packed block-diagonal convs and
+    returns the packed (B,H,W,P*Cout) activations."""
+    kernel = conv_p["kernel"]
+    bias = conv_p["bias"]
+    p, kh, kw, cin, cout = kernel.shape
+    sizes = _group_sizes(p, max(cin, cout), target)
     outs = []
-    for i, x in enumerate(xs):
-        w = stacked_params["kernel"][i].astype(dt)
-        b = stacked_params["bias"][i].astype(dt)
+    m = 0
+    for g in sizes:
+        w = _block_diag_kernel(kernel[m:m + g].astype(dt))
+        b = bias[m:m + g].reshape(-1).astype(dt)
+        xg = x[..., m * cin:(m + g) * cin]
         y = jax.lax.conv_general_dilated(
-            x, w, (1, 1), "SAME",
+            xg, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         outs.append(act(y + b))
-    return outs
+        m += g
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 
 def _bn_flat(x, scale, bias, mean, var, dt):
@@ -122,10 +145,14 @@ def packed_unet_apply(stacked_variables: Any, images: jnp.ndarray, *,
                       max_packed_width: int = 128,
                       compute_dtype: Any = jnp.bfloat16,
                       bn_sync_axis: Optional[str] = None):
-    """Forward of P stacked U-Nets on one shared image batch.
+    """Forward of P stacked U-Nets over a channel-packed layout.
 
-    stacked_variables: the pytree from ``init_population`` (leading P axis);
-    images (B, H, W, C) uint8.
+    stacked_variables: the pytree from ``init_population`` (leading P
+    axis).  images: either (B, H, W, C) uint8 — ONE batch shared by all
+    candidates (the supervised-stage semantics: the reference feeds every
+    candidate the same seeded stream, functions.py:208) — or (P, B, H, W,
+    C) — a PER-CANDIDATE batch, fusing cells that train on different data
+    into one program.
 
     Returns ``probs`` (P, B, H, W, num_classes) float32 when ``train`` is
     False, else ``(probs, new_batch_stats)`` where ``new_batch_stats``
@@ -136,136 +163,84 @@ def packed_unet_apply(stacked_variables: Any, images: jnp.ndarray, *,
     act = resolve_activation(activation)
     out_act = resolve_activation(out_activation)
     dt = compute_dtype
+    target = max_packed_width
     params = stacked_variables["params"]
     stats = stacked_variables["batch_stats"]
     p = params["out"]["kernel"].shape[0]
     seq = _Seq(params, stats)
     new_stats: Dict[str, Dict[str, jnp.ndarray]] = {}
 
-    x0 = images.astype(jnp.float32) / 255.0
-    x0 = x0.astype(dt)
-
-    # state: either packed (B,H,W,P*C) array or list of P per-model arrays
-    def width_of(conv_p):
-        return conv_p["kernel"].shape[-1] * p
-
-    def to_packed(state):
-        if isinstance(state, list):
-            return jnp.concatenate(state, axis=-1)
-        return state
-
-    def to_list(state, c):
-        if isinstance(state, list):
-            return state
-        return [state[..., i * c:(i + 1) * c] for i in range(p)]
-
-    def conv_act(state, conv_p):
-        if width_of(conv_p) <= max_packed_width:
-            return _packed_conv(to_packed(state), conv_p, act, dt)
-        cin = conv_p["kernel"].shape[-2]
-        return _unrolled_conv(to_list(state, cin), conv_p, act, dt)
-
-    def bn(state):
+    def bn(x):
         name, (scale, bias, ra_mean, ra_var) = seq.bn()
-        # stacked stats are (P, C): flatten for the packed layout
         s_flat = scale.reshape(-1)
         b_flat = bias.reshape(-1)
         if not train:
-            m_flat, v_flat = ra_mean.reshape(-1), ra_var.reshape(-1)
-            if isinstance(state, list):
-                c = state[0].shape[-1]
-                return [_bn_flat(state[i], scale[i], bias[i], ra_mean[i],
-                                 ra_var[i], dt) for i in range(p)]
-            return _bn_flat(state, s_flat, b_flat, m_flat, v_flat, dt)
-
-        if isinstance(state, list):
-            ms, vs, outs = [], [], []
-            for i in range(p):
-                m, v = _batch_stats_flat(state[i], bn_sync_axis)
-                outs.append(_bn_flat(state[i], scale[i], bias[i], m, v, dt))
-                ms.append(m)
-                vs.append(v)
-            batch_mean = jnp.stack(ms)
-            batch_var = jnp.stack(vs)
-            out = outs
-        else:
-            m_flat, v_flat = _batch_stats_flat(state, bn_sync_axis)
-            out = _bn_flat(state, s_flat, b_flat, m_flat, v_flat, dt)
-            batch_mean = m_flat.reshape(ra_mean.shape)
-            batch_var = v_flat.reshape(ra_var.shape)
+            return _bn_flat(x, s_flat, b_flat, ra_mean.reshape(-1),
+                            ra_var.reshape(-1), dt)
+        m_flat, v_flat = _batch_stats_flat(x, bn_sync_axis)
+        out = _bn_flat(x, s_flat, b_flat, m_flat, v_flat, dt)
         # running averages advance exactly like flax.linen.BatchNorm
         new_stats[name] = {
-            "mean": BN_MOMENTUM * ra_mean + (1 - BN_MOMENTUM) * batch_mean,
-            "var": BN_MOMENTUM * ra_var + (1 - BN_MOMENTUM) * batch_var,
+            "mean": (BN_MOMENTUM * ra_mean
+                     + (1 - BN_MOMENTUM) * m_flat.reshape(ra_mean.shape)),
+            "var": (BN_MOMENTUM * ra_var
+                    + (1 - BN_MOMENTUM) * v_flat.reshape(ra_var.shape)),
         }
         return out
 
-    def pool(state):
+    def pool(x):
         # scalar -inf init (any dtype): keeps the reduce_window on the
         # max-monoid autodiff path (flax nn.max_pool does the same)
-        f = lambda v: jax.lax.reduce_window(
-            v, -jnp.inf, jax.lax.max,
-            (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
-        if isinstance(state, list):
-            return [f(v) for v in state]
-        return f(state)
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
-    def upsample_add(state, skip):
-        def up(v):
-            v = jnp.repeat(v, 2, axis=1)
-            return jnp.repeat(v, 2, axis=2)
-        if isinstance(state, list) or isinstance(skip, list):
-            if not isinstance(state, list):
-                # packed -> list using skip's channel count
-                state = to_list(state, skip[0].shape[-1])
-            if not isinstance(skip, list):
-                skip = to_list(skip, state[0].shape[-1])
-            return [up(a) + b for a, b in zip(state, skip)]
-        return up(state) + skip
+    def upsample_add(x, skip):
+        x = jnp.repeat(x, 2, axis=1)
+        x = jnp.repeat(x, 2, axis=2)
+        return x + skip
 
-    # ---- input block (shared input tiled across models)
-    conv0 = seq.conv()
-    x = [x0] * p if width_of(conv0) > max_packed_width else jnp.tile(
-        x0, (1, 1, 1, p))
-    # note: tiled input + block-diag over (P*Cimg) == per-model conv on x0
-    x = conv_act(x, conv0)
-    c0 = bn(x)
+    # ---- input block: per-model images pack on channels; a shared batch
+    # is tiled P times (tiled input + block-diag == per-model conv)
+    if images.ndim == 5:
+        x0 = jnp.concatenate([images[i] for i in range(p)], axis=-1)
+    else:
+        x0 = jnp.tile(images, (1, 1, 1, p))
+    x0 = x0.astype(jnp.float32) / 255.0
+    x = x0.astype(dt)
+
+    x = _conv_grouped(x, seq.conv(), act, dt, target)
+    state = bn(x)
 
     skips = []
-    state = c0
     for _ in range(4):                       # encoder blocks
-        state = conv_act(state, seq.conv())
-        state = conv_act(state, seq.conv())
+        state = _conv_grouped(state, seq.conv(), act, dt, target)
+        state = _conv_grouped(state, seq.conv(), act, dt, target)
         state = bn(state)
         skips.append(state)
         state = pool(state)
 
-    state = conv_act(state, seq.conv())      # bottleneck
-    state = conv_act(state, seq.conv())
+    state = _conv_grouped(state, seq.conv(), act, dt, target)  # bottleneck
+    state = _conv_grouped(state, seq.conv(), act, dt, target)
     state = bn(state)
 
     for skip in reversed(skips):             # decoder blocks
         state = upsample_add(state, skip)
-        state = conv_act(state, seq.conv())
+        state = _conv_grouped(state, seq.conv(), act, dt, target)
         state = bn(state)
-        state = conv_act(state, seq.conv())
-        state = conv_act(state, seq.conv())
+        state = _conv_grouped(state, seq.conv(), act, dt, target)
+        state = _conv_grouped(state, seq.conv(), act, dt, target)
         state = bn(state)
 
     # ---- output head (f32), per-model
     out_p = params["out"]
-    if isinstance(state, list):
-        xs = state
-    else:
-        c = out_p["kernel"].shape[-2]
-        xs = [state[..., i * c:(i + 1) * c] for i in range(p)]
+    c = out_p["kernel"].shape[-2]
     outs = []
     for i in range(p):
         w = out_p["kernel"][i].astype(jnp.float32)
         b = out_p["bias"][i].astype(jnp.float32)
         y = jax.lax.conv_general_dilated(
-            xs[i].astype(jnp.float32), w, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+            state[..., i * c:(i + 1) * c].astype(jnp.float32), w, (1, 1),
+            "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
         outs.append(out_act(y))
     probs = jnp.stack(outs)
 

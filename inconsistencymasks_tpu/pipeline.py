@@ -299,12 +299,36 @@ def _train_cell(ad: DatasetAdapter, approach: str, modelname: str,
 
 def run_supervised_stage(ad: DatasetAdapter, approach: str,
                          train_main: str) -> None:
-    """FDT ('full_dataset'), LDT ('subset') or ALDT ('subset_aug')."""
+    """FDT ('full_dataset'), LDT ('subset') or ALDT ('subset_aug').
+
+    All pending runids train as ONE fused packed population (the runid
+    cells are identical configurations on identical data differing only by
+    init seed — reference ISIC_2018/03:44 re-runs them serially), cutting
+    per-generation wall-clock ~x(number of runids) while producing the
+    exact per-runid artifacts.  Disable with IM_MERGE_RUNIDS=0."""
+    from .workflows import run_grid_cells_merged
     os.makedirs(ad.model_dir, exist_ok=True)
-    for runid in ad.runids:
+    pending = [r for r in ad.runids
+               if not cell_done(ad, f"{ad.prefix}_{approach}_{r}")]
+    if (len(pending) > 1
+            and os.environ.get("IM_MERGE_RUNIDS", "1") != "0"):
+        cells = [(f"{ad.prefix}_{approach}_{r}",
+                  stable_seed(f"{ad.prefix}_{approach}_{r}"))
+                 for r in pending]
+        run_grid_cells_merged(
+            kind=ad.kind, cfg=ad.cfg, module=ad.module(),
+            train_ds=ad.load_split(train_main),
+            val_ds=ad.load_split(ad.val_dir),
+            test_ds=ad.load_split(ad.test_dir),
+            unlabeled_ds=ad.load_split(ad.train_unlabeled_dir),
+            cells=cells,
+            pred_dir_fn=lambda split, mn: ad.pred_dir(split, mn, approach),
+            model_dir=ad.model_dir, csv_dir=ad.csv_dir,
+            population=ad.population_first, epochs=ad.epochs, mesh=ad.mesh,
+            class_to_color=ad.class_to_color, log=ad.log)
+        return
+    for runid in pending:
         modelname = f"{ad.prefix}_{approach}_{runid}"
-        if cell_done(ad, modelname):
-            continue
         _train_cell(ad, approach, modelname, train_main,
                     population=ad.population_first)
 

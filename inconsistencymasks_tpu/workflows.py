@@ -119,7 +119,21 @@ def run_grid_cell(
                 steps_per_epoch=steps_per_epoch, seed=d.seed,
                 log=(lambda m: log(f"[{modelname}] {m}")) if log else None)
 
-    best = trainer.best_variables()
+    return _finish_cell(
+        kind=kind, cfg=cfg, module=module, val_ds=val_ds, test_ds=test_ds,
+        unlabeled_ds=unlabeled_ds, modelname=modelname, model_dir=model_dir,
+        csv_dir=csv_dir, pred_dir_fn=pred_dir_fn,
+        best=trainer.best_variables(), class_to_color=class_to_color,
+        write_csv=write_csv, create_pred_images=create_pred_images, log=log)
+
+
+def _finish_cell(*, kind, cfg, module, val_ds, test_ds, unlabeled_ds,
+                 modelname, model_dir, csv_dir, pred_dir_fn, best,
+                 class_to_color, write_csv, create_pred_images, log
+                 ) -> GridCellResult:
+    """Post-training half of a grid cell: benchmark each candidate on
+    val/test/unlabeled, save, rank, topK-rename, CSV (reference 03:82-106)."""
+    d = cfg.defaults
     rows = []
     for i, variables in enumerate(best):
         mn = f"{modelname}_{i}"
@@ -179,3 +193,73 @@ def run_grid_cell(
     return GridCellResult(rows=rows, ranked_rows=ranked_rows,
                           best_variables=[best[i] for i in order],
                           header=header)
+
+
+def run_grid_cells_merged(
+    *,
+    kind: str,
+    cfg: DatasetConfig,
+    module: UNet,
+    train_ds: Dataset,
+    val_ds: Dataset,
+    test_ds: Dataset,
+    unlabeled_ds: Dataset,
+    cells,                            # [(modelname, base_seed), ...]
+    pred_dir_fn: Callable[[str, str], str],
+    model_dir: str,
+    csv_dir: str,
+    population: int,
+    epochs: Optional[int] = None,
+    steps_per_epoch: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    class_to_color: Optional[dict] = None,
+    log=print,
+) -> list:
+    """Train SEVERAL grid cells that share one training set as a single
+    fused population (len(cells) x population candidates in one packed
+    program), then finish each cell separately (benchmarks, topK renames,
+    results CSV) exactly as a solo :func:`run_grid_cell` would.
+
+    Motivation: the reference's runid loop re-trains the identical
+    configuration 3x serially (ISIC_2018/03_ISIC_2018_subset.py:44); the
+    candidates differ only by init, and all consume the same seeded stream
+    (functions.py:208), so fusing runids multiplies the packed population
+    — at alpha 0.5 the 8-channel full-res level fits 16 models in one
+    128-lane MXU pass (models/packed_unet.py) — without changing any
+    per-cell artifact.  Per-cell init seeds are preserved, so a merged run
+    produces the same candidates as three solo runs (crash-resume safe).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    d = cfg.defaults
+    epochs = d.num_epochs if epochs is None else epochs
+    stacks = [init_population(module, cfg.image_height, cfg.image_width,
+                              cfg.image_channels, population, seed)
+              for _, seed in cells]
+    stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs), *stacks)
+
+    monitor = {"binary": Monitor.isic(), "hela": Monitor.hela(),
+               "multiclass": Monitor.multiclass()}[kind]
+    loss = "cce" if kind == "multiclass" else "mse"
+    tag = "+".join(mn for mn, _ in cells)
+    trainer = PopulationTrainer(
+        module, stacked, loss=loss, monitor=monitor,
+        learning_rate=d.lr, weight_decay=d.wd,
+        num_classes=cfg.num_classes, mesh=mesh)
+    trainer.fit(train_ds, val_ds, epochs=epochs, batch_size=d.batch_size,
+                steps_per_epoch=steps_per_epoch, seed=d.seed,
+                log=(lambda m: log(f"[{tag}] {m}")) if log else None)
+
+    best = trainer.best_variables()
+    results = []
+    for ci, (modelname, _) in enumerate(cells):
+        results.append(_finish_cell(
+            kind=kind, cfg=cfg, module=module, val_ds=val_ds,
+            test_ds=test_ds, unlabeled_ds=unlabeled_ds,
+            modelname=modelname, model_dir=model_dir, csv_dir=csv_dir,
+            pred_dir_fn=pred_dir_fn,
+            best=best[ci * population:(ci + 1) * population],
+            class_to_color=class_to_color, write_csv=True,
+            create_pred_images=True, log=log))
+    return results

@@ -1,0 +1,74 @@
+"""Runid-merged supervised training == per-runid solo training.
+
+The merged path must produce the same artifact set (per-runid candidate
+checkpoints, topK renames, results CSVs) with per-candidate metrics close
+to the solo path's (same init seeds; only conv group packing differs)."""
+
+import configparser
+import csv
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def isic_env(tmp_path, monkeypatch):
+    from inconsistencymasks_tpu.data.synthetic import make_binary_dataset
+
+    def build(sub):
+        base = str(tmp_path / sub / "ISIC_2018") + os.sep
+        make_binary_dataset(base, h=32, w=32, n_labeled=8, n_val=4,
+                            n_test=4, n_unlabeled=4)
+        cp = configparser.ConfigParser()
+        cp.read(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "config.ini"))
+        cp["ISIC_2018"]["BASE_DIR"] = base
+        cp["ISIC_2018"]["IMAGE_HEIGHT"] = "32"
+        cp["ISIC_2018"]["IMAGE_WIDTH"] = "32"
+        cp["ISIC_2018"]["ALPHA"] = "0.25"
+        cfg_path = str(tmp_path / sub / "config.ini")
+        with open(cfg_path, "w") as f:
+            cp.write(f)
+        return base, cfg_path
+
+    return build, monkeypatch
+
+
+def _run_stage(cfg_path, merge, monkeypatch):
+    from inconsistencymasks_tpu import pipeline
+
+    monkeypatch.setenv("IM_MERGE_RUNIDS", "1" if merge else "0")
+    ad = pipeline.make_adapter("isic", cfg_path, runids=(1, 2),
+                               population_first=2, epochs=1, log=None)
+    pipeline.run_supervised_stage(ad, "subset", ad.train_labeled_dir)
+    return ad
+
+
+def _read_rows(ad, runid):
+    path = os.path.join(ad.csv_dir, f"results_ISIC_2018_subset_{runid}.csv")
+    with open(path) as f:
+        return list(csv.reader(f, delimiter=";"))
+
+
+def test_merged_matches_solo(isic_env):
+    build, monkeypatch = isic_env
+    base_m, cfg_m = build("merged")
+    base_s, cfg_s = build("solo")
+    ad_m = _run_stage(cfg_m, True, monkeypatch)
+    ad_s = _run_stage(cfg_s, False, monkeypatch)
+
+    models_m = sorted(os.listdir(os.path.join(base_m, "models")))
+    models_s = sorted(os.listdir(os.path.join(base_s, "models")))
+    assert models_m == models_s          # identical artifact set
+    assert sum("_topK_" in m for m in models_m) == 4  # 2 runids x pop 2
+
+    for runid in (1, 2):
+        rows_m = _read_rows(ad_m, runid)
+        rows_s = _read_rows(ad_s, runid)
+        assert [r[0] for r in rows_m] == [r[0] for r in rows_s]
+        a = np.array([[float(v) for v in r[1:]] for r in rows_m[1:]])
+        b = np.array([[float(v) for v in r[1:]] for r in rows_s[1:]])
+        # same inits + same stream; only packing-order float noise after
+        # one epoch of training on random data
+        np.testing.assert_allclose(a, b, atol=0.08)

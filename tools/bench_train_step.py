@@ -21,7 +21,9 @@ from inconsistencymasks_tpu.models.unet import UNet
 from inconsistencymasks_tpu.train.population import init_population
 from inconsistencymasks_tpu.train.trainer import Monitor, PopulationTrainer
 
-POP, BATCH, HW = 5, 32, 256
+import os
+POP = int(os.environ.get("POP", 5))
+BATCH, HW = 32, 256
 
 
 def run(forward, width, steps=(4, 16)):
