@@ -16,5 +16,5 @@ from inconsistencymasks_tpu.pipeline import make_adapter, \
 
 if __name__ == "__main__":
     ad = make_adapter("suim")
-    run_evalnet_segnet_stage(ad, evalnet_count=1)
+    run_evalnet_segnet_stage(ad, variant="single")
 

@@ -131,10 +131,54 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(fused_ips / base_ips, 1),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     print(f"# fused: {fused_ips:.1f} img/s ({per_iter * 1e3:.2f} ms/batch"
           f" of {BATCH}) | reference-style loop: {base_ips:.1f} img/s | "
           f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    # ------------------------------------------------------- training line
+    # Second JSON line: population-training throughput on the production
+    # path (group-packed population of 15 = one runid-merged LDT chunk,
+    # batch 32 — pipeline.run_supervised_stage semantics).  Baseline = the
+    # reference's serialization (one candidate per program, the same
+    # single-model train step on the same chip).
+    from inconsistencymasks_tpu.train.trainer import (Monitor,
+                                                      PopulationTrainer)
+
+    targets = jnp.asarray((rng.rand(32, H, W, 1) > 0.5).astype(np.float32))
+    imgs32 = jnp.asarray(images_np[:32])
+
+    def step_time(pop, forward):
+        tr = PopulationTrainer(
+            module, init_population(module, H, W, 3, pop, base_seed=1),
+            loss="mse", monitor=Monitor.isic(), learning_rate=3e-3,
+            weight_decay=1e-4, forward=forward)
+        for _ in range(2):
+            tr.state, loss = tr._train_step(tr.state, imgs32, targets)
+        float(jnp.sum(loss))
+        times = {}
+        for n in (4, 16):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tr.state, loss = tr._train_step(tr.state, imgs32, targets)
+            float(jnp.sum(loss))
+            times[n] = time.perf_counter() - t0
+        return (times[16] - times[4]) / 12
+
+    t_packed15 = step_time(15, "packed")
+    t_single = step_time(1, "unrolled")
+    train_mips = 15 * 32 / t_packed15
+    base_mips = 32 / t_single
+    print(json.dumps({
+        "metric": "population_train_model_images_per_sec_per_chip",
+        "value": round(train_mips, 1),
+        "unit": "model-images/sec/chip",
+        "vs_baseline": round(train_mips / base_mips, 2),
+    }), flush=True)
+    print(f"# train: packed pop-15 {t_packed15 * 1e3:.1f} ms/step "
+          f"({train_mips:.0f} model-img/s) | serialized single model "
+          f"{t_single * 1e3:.1f} ms/step ({base_mips:.0f} model-img/s)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

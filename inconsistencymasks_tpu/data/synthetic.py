@@ -81,3 +81,106 @@ def make_hela_dataset(base_dir: str, *, n_labeled: int = 6, n_val: int = 4,
             _write(os.path.join(base_dir, split, "dead", name), dead)
             _write(os.path.join(base_dir, split, "pos", name), pos)
             _write(os.path.join(base_dir, split, "mod_position", name), pos)
+
+
+def _lesion_mask(rng, h, w):
+    """Irregular star-convex lesion region (random radial harmonics)."""
+    cy = rng.uniform(0.3, 0.7) * h
+    cx = rng.uniform(0.3, 0.7) * w
+    base_r = rng.uniform(0.12, 0.33) * min(h, w)
+    n_harm = rng.randint(2, 6)
+    amps = rng.uniform(0.03, 0.22, n_harm) * base_r
+    phases = rng.uniform(0, 2 * np.pi, n_harm)
+    ks = rng.randint(2, 9, n_harm)
+    thetas = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+    r = base_r + sum(a * np.sin(k * thetas + p)
+                     for a, k, p in zip(amps, ks, phases))
+    r = np.clip(r, 4, min(h, w) * 0.45)
+    pts = np.stack([cx + r * np.cos(thetas), cy + r * np.sin(thetas)],
+                   axis=-1).astype(np.int32)
+    mask = np.zeros((h, w), np.uint8)
+    cv2.fillPoly(mask, [pts], 255)
+    return mask
+
+
+def make_isic_like_dataset(base_dir: str, *, n_train: int = 2594,
+                           n_val: int = 100, n_test: int = 1000,
+                           labeled_frac: float = 0.1, h: int = 256,
+                           w: int = 256, seed: int = 42) -> None:
+    """Structured skin-lesion proxy at the real ISIC 2018 task scale
+    (2,594 train images split 10 %/90 % labeled/unlabeled per reference
+    ISIC_2018/01_ISIC_2018_split_original_train.py:21-57, 100 val, 1,000
+    test at 256^2 per 00_preprocess).
+
+    Used for quality-trajectory runs when the real archive is unavailable
+    (no network egress): textured skin background with illumination
+    gradient, an irregular star-convex lesion with darker pigment, fuzzy
+    border, pigment speckle, hair-like occluding arcs and specular spots.
+    Learnable but non-trivial; NOT a substitute for real-data absolute
+    numbers (see QUALITY_r2.md)."""
+    rng = np.random.RandomState(seed)
+
+    def sample(idx, split):
+        skin = np.array([rng.uniform(140, 220), rng.uniform(120, 185),
+                         rng.uniform(160, 235)])      # BGR-ish skin tone
+        img = np.ones((h, w, 3), np.float32) * skin
+        # low-frequency texture + illumination gradient
+        tex = cv2.resize(rng.randn(8, 8, 3).astype(np.float32) * 14,
+                         (w, h), interpolation=cv2.INTER_CUBIC)
+        gy = np.linspace(-1, 1, h)[:, None, None]
+        gx = np.linspace(-1, 1, w)[None, :, None]
+        img += tex + gy * rng.uniform(-18, 18) + gx * rng.uniform(-18, 18)
+
+        # faint distractor patches (NOT lesions, NOT in the mask): what
+        # makes 10 %-labeled training genuinely harder than full-data
+        for _ in range(rng.randint(0, 3)):
+            dmask = _lesion_mask(rng, h, w)
+            dsoft = cv2.GaussianBlur(dmask.astype(np.float32) / 255.0,
+                                     (0, 0), rng.uniform(4, 10))[..., None]
+            dcol = skin + rng.uniform(-55, 10, 3)
+            img = img * (1 - 0.45 * dsoft) + dcol * 0.45 * dsoft
+
+        mask = _lesion_mask(rng, h, w)
+        # pigment distance to skin varies: some lesions are low-contrast
+        mix = rng.uniform(0.35, 1.0)
+        dark = np.array([rng.uniform(30, 95), rng.uniform(40, 110),
+                         rng.uniform(60, 130)])
+        pig = dark * mix + skin * (1 - mix)
+        soft = cv2.GaussianBlur(mask.astype(np.float32) / 255.0,
+                                (0, 0), rng.uniform(2, 7))[..., None]
+        speck = cv2.resize(
+            rng.randn(32, 32, 3).astype(np.float32) * rng.uniform(5, 18),
+            (w, h), interpolation=cv2.INTER_CUBIC)
+        img = img * (1 - soft) + (pig + speck) * soft
+        # hairs: dark thin arcs crossing the frame
+        for _ in range(rng.randint(0, 7)):
+            p0 = (rng.randint(0, w), rng.randint(0, h))
+            p1 = (rng.randint(0, w), rng.randint(0, h))
+            p2 = (rng.randint(0, w), rng.randint(0, h))
+            pts = np.array([p0, p1, p2], np.int32)
+            cv2.polylines(img, [pts], False,
+                          tuple(float(v) for v in rng.uniform(10, 60, 3)),
+                          1, cv2.LINE_AA)
+        # specular spots
+        for _ in range(rng.randint(0, 4)):
+            cv2.circle(img, (rng.randint(0, w), rng.randint(0, h)),
+                       rng.randint(2, 6), (255, 255, 255), -1, cv2.LINE_AA)
+        img += rng.randn(h, w, 3) * rng.uniform(2, 8)
+        return np.clip(img, 0, 255).astype(np.uint8), mask
+
+    n_labeled = int(n_train * labeled_frac)
+    order = rng.permutation(n_train)
+    labeled_ids = set(order[:n_labeled].tolist())
+    for i in range(n_train):
+        img, mask = sample(i, "train")
+        split = "train_labeled" if i in labeled_ids else "train_unlabeled"
+        name = f"ISIC_{i:07d}.png"
+        _write(os.path.join(base_dir, split, "images", name), img)
+        _write(os.path.join(base_dir, split, "masks", name), mask)
+    for split, n, off in (("val", n_val, 10 ** 6),
+                          ("test", n_test, 2 * 10 ** 6)):
+        for i in range(n):
+            img, mask = sample(i, split)
+            name = f"ISIC_{off + i:07d}.png"
+            _write(os.path.join(base_dir, split, "images", name), img)
+            _write(os.path.join(base_dir, split, "masks", name), mask)

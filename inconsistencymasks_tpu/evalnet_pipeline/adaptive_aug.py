@@ -32,6 +32,7 @@ from ..data.loader import list_pngs
 from ..ops import augment
 from ..ops.unroll import unrolled_map
 from ..pseudo.engine import StackedEnsemble
+from ..utils.io_pool import flushes_writes, imwrite_async
 
 _SCORE_CACHE: dict = {}
 
@@ -78,13 +79,14 @@ def _write_adaptive_augs(images, masks, names, num_augs, out_main,
             oi = aug_img[i]
             bgr = (cv2.cvtColor(oi, cv2.COLOR_RGB2BGR)
                    if channels == 3 else oi[..., 0] if oi.ndim == 3 else oi)
-            cv2.imwrite(os.path.join(out_main, "images",
+            imwrite_async(os.path.join(out_main, "images",
                                      f"{stem}___{j}.png"), bgr)
-            cv2.imwrite(os.path.join(out_main, "masks",
+            imwrite_async(os.path.join(out_main, "masks",
                                      f"{stem}___{j}.png"), aug_mask[i])
     return key
 
 
+@flushes_writes
 def create_augment_images_and_masks_with_evalnet_binary(
         evalnet_module, evalnets: Sequence, main_input_path: str,
         main_output_path: str, *, min_threshold: float, max_threshold: float,
@@ -132,6 +134,7 @@ def create_augment_images_and_masks_with_evalnet_binary(
                                    multiclass_mask=False)
 
 
+@flushes_writes
 def create_augment_images_and_masks_with_evalnet_multiclass(
         evalnet_module, evalnets: Sequence, main_input_path: str,
         main_output_path: str, *, num_classes: int, min_threshold: float,
@@ -186,6 +189,7 @@ def create_augment_images_and_masks_with_evalnet_multiclass(
                                    multiclass_mask=True)
 
 
+@flushes_writes
 def create_augment_images_and_masks_with_gt(
         main_input_path: str, gt_masks_path: str, main_output_path: str, *,
         num_classes: int, min_threshold: float, max_threshold: float,

@@ -39,6 +39,7 @@ from ..data.loader import eval_batches, list_pngs, load_images
 from ..ops import augment, metrics, morphology
 from ..pseudo.engine import StackedEnsemble
 from .labels import compute_classwise_detection_im, compute_classwise_iou
+from ..utils.io_pool import flushes_writes, imwrite_async
 
 _KERNEL_CHOICES = (0, 3, 5)
 
@@ -79,6 +80,7 @@ def _forward(module):
     return fn
 
 
+@flushes_writes
 def create_training_data_evalnet_binary(module, variables, images_path: str,
                                         masks_path: str,
                                         main_output_path: str, i: int, *,
@@ -102,7 +104,7 @@ def create_training_data_evalnet_binary(module, variables, images_path: str,
                                              jnp.asarray(preds)))
         for j in range(preds.shape[0]):
             name = _pred_name(ds.names[cursor + j], i)
-            cv2.imwrite(os.path.join(main_output_path, "masks", name),
+            imwrite_async(os.path.join(main_output_path, "masks", name),
                         preds[j])
             rows.append((name, round(float(ious[j]), 4)))
         cursor += preds.shape[0]
@@ -112,6 +114,7 @@ def create_training_data_evalnet_binary(module, variables, images_path: str,
     _append_labels(main_output_path, rows)
 
 
+@flushes_writes
 def create_training_data_evalnet_multiclass(module, variables,
                                             images_path: str,
                                             masks_path: str,
@@ -147,7 +150,7 @@ def create_training_data_evalnet_multiclass(module, variables,
                                                        num_classes))
         for j in range(preds.shape[0]):
             name = _pred_name(ds.names[cursor + j], i)
-            cv2.imwrite(os.path.join(main_output_path, "masks", name),
+            imwrite_async(os.path.join(main_output_path, "masks", name),
                         preds[j])
             if classwise_labels:
                 rows.append((name, *[round(float(v), 4) for v in cw[j]],
@@ -247,6 +250,7 @@ def _im_datagen_common(ens, images, threshold, host_rng, n_min, n_max,
     return images_b, pred, im2d
 
 
+@flushes_writes
 def create_training_data_evalnet_im_binary(
         module, models: Sequence, images_path: str, masks_path: str,
         main_output_path: str, num_loops: int, *, n_min_models: int = 2,
@@ -295,15 +299,16 @@ def create_training_data_evalnet_im_binary(
                 om = aug_pred_np[i] if take_aug[i] else pred_np[i]
                 bgr = (cv2.cvtColor(oi, cv2.COLOR_RGB2BGR)
                        if channels == 3 else oi)
-                cv2.imwrite(os.path.join(main_output_path, "images", name),
+                imwrite_async(os.path.join(main_output_path, "images", name),
                             bgr)
-                cv2.imwrite(os.path.join(main_output_path, "masks", name),
+                imwrite_async(os.path.join(main_output_path, "masks", name),
                             om)
             cursor += images.shape[0]
 
     _append_labels(main_output_path, rows)
 
 
+@flushes_writes
 def create_training_data_evalnet_im_multiclass(
         module, models: Sequence, images_path: str, masks_path: str,
         main_output_path: str, num_loops: int, *, num_classes: int,
@@ -369,15 +374,16 @@ def create_training_data_evalnet_im_multiclass(
                 om = aug_pred_np[i] if take_aug[i] else pred_np[i]
                 bgr = (cv2.cvtColor(oi, cv2.COLOR_RGB2BGR)
                        if channels == 3 else oi)
-                cv2.imwrite(os.path.join(main_output_path, "images", name),
+                imwrite_async(os.path.join(main_output_path, "images", name),
                             bgr)
-                cv2.imwrite(os.path.join(main_output_path, "masks", name),
+                imwrite_async(os.path.join(main_output_path, "masks", name),
                             om)
             cursor += images.shape[0]
 
     _append_labels(main_output_path, rows)
 
 
+@flushes_writes
 def create_training_data_evalnet_miou_im_multiclass(*args, **kwargs):
     """Alias: the reference's mIoU variant = classwise labels
     (functions.py:3773-3877)."""
@@ -385,6 +391,7 @@ def create_training_data_evalnet_miou_im_multiclass(*args, **kwargs):
     return create_training_data_evalnet_im_multiclass(*args, **kwargs)
 
 
+@flushes_writes
 def create_training_data_evalnet_miou_im_hela(
         module, models: Sequence, bf_images_path: str, gt_main_path: str,
         main_output_path: str, num_loops: int, *, n_min_models: int = 2,
@@ -459,13 +466,13 @@ def create_training_data_evalnet_miou_im_hela(
                              *[int(v) for v in det[i]]))
                 oi = aug_img_np[i] if take_aug[i] else img_np[i]
                 om = aug_pred_np[i] if take_aug[i] else pred_np[i]
-                cv2.imwrite(os.path.join(main_output_path, "brightfield",
+                imwrite_async(os.path.join(main_output_path, "brightfield",
                                          name), oi[..., 0])
-                cv2.imwrite(os.path.join(main_output_path, "alive", name),
+                imwrite_async(os.path.join(main_output_path, "alive", name),
                             om[..., 0])
-                cv2.imwrite(os.path.join(main_output_path, "dead", name),
+                imwrite_async(os.path.join(main_output_path, "dead", name),
                             om[..., 1])
-                cv2.imwrite(os.path.join(main_output_path, "mod_position",
+                imwrite_async(os.path.join(main_output_path, "mod_position",
                                          name), om[..., 2])
             cursor += b
 
@@ -486,6 +493,7 @@ def _hela_detection(gt_stack: np.ndarray) -> np.ndarray:
     return (counts >= thr).astype(np.float32)
 
 
+@flushes_writes
 def create_training_data_evalnet_miou_hela(
         module, variables, bf_images_path: str, gt_main_path: str,
         main_output_path: str, i: int, *, threshold: float = 0.5,
@@ -532,7 +540,7 @@ def create_training_data_evalnet_miou_hela(
         for j in range(b):
             name = _pred_name(ds.names[cursor + j], i)
             for ci, c in enumerate(out_chans[1:]):
-                cv2.imwrite(os.path.join(main_output_path, c, name),
+                imwrite_async(os.path.join(main_output_path, c, name),
                             preds[j, ..., ci])
             rows.append((name,
                          *[round(float(v), 4) for v in ious[j, :n_ch]],

@@ -34,6 +34,7 @@ from ..data.loader import list_pngs
 from ..postproc.hela import get_min_dist, get_pos_contours
 from ..ops.unroll import unrolled_map
 from ..pseudo.engine import StackedEnsemble
+from ..utils.io_pool import flushes_writes, imwrite_async
 
 _SCORE_CACHE: dict = {}
 
@@ -66,6 +67,7 @@ def _load_candidates(imagename, mask_paths, accepted_masks_dir):
     return masks
 
 
+@flushes_writes
 def create_training_data_for_segnet_binary(
         evalnet_module, evalnets: Sequence, images_path: str,
         mask_paths: Sequence[str], main_output_path: str, threshold: float,
@@ -119,12 +121,13 @@ def create_training_data_for_segnet_binary(
                 if mean[i, best_idx[i]] >= threshold:
                     shutil.copy(os.path.join(images_path, n),
                                 os.path.join(images_out, n))
-                    cv2.imwrite(os.path.join(masks_out, n),
+                    imwrite_async(os.path.join(masks_out, n),
                                 cands[best_idx[i]])
                     accepted += 1
     return accepted
 
 
+@flushes_writes
 def create_training_data_for_segnet_miou_multiclass(
         evalnet_module, evalnets: Sequence, images_path: str,
         mask_paths: Sequence[str], main_output_path: str, threshold: float,
@@ -184,12 +187,13 @@ def create_training_data_for_segnet_miou_multiclass(
                 if miou[i, best_idx[i]] >= threshold:
                     shutil.copy(os.path.join(images_path, n),
                                 os.path.join(images_out, n))
-                    cv2.imwrite(os.path.join(masks_out, n),
+                    imwrite_async(os.path.join(masks_out, n),
                                 cand_list[best_idx[i]])
                     accepted += 1
     return accepted
 
 
+@flushes_writes
 def create_training_data_for_segnet_miou_hela(
         evalnet_module, evalnets: Sequence, bf_images_path: str,
         mask_main_paths: Sequence[str], main_output_path: str,
@@ -279,11 +283,11 @@ def create_training_data_for_segnet_miou_hela(
                                (255, 255, 255), -1)
                 shutil.copy(os.path.join(bf_images_path, n),
                             os.path.join(out_dirs["brightfield"], n))
-                cv2.imwrite(os.path.join(out_dirs["alive"], n),
+                imwrite_async(os.path.join(out_dirs["alive"], n),
                             best[:, :, 0] * 255)
-                cv2.imwrite(os.path.join(out_dirs["dead"], n),
+                imwrite_async(os.path.join(out_dirs["dead"], n),
                             best[:, :, 1] * 255)
-                cv2.imwrite(os.path.join(out_dirs["mod_position"], n),
+                imwrite_async(os.path.join(out_dirs["mod_position"], n),
                             pos_mask)
                 accepted += 1
     return accepted

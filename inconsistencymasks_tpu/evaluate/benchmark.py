@@ -27,6 +27,7 @@ from ..class_mappings import class_to_color_lut
 from ..data.loader import Dataset, eval_batches
 from ..ops import metrics
 from ..postproc.hela import get_cell_count, get_pos_contours, mod_pos_size
+from ..utils.io_pool import flushes_writes, imwrite_async
 
 
 _FORWARD_CACHE: dict = {}
@@ -70,6 +71,7 @@ def _threshold_channels(probs, threshold):
 
 
 
+@flushes_writes
 def benchmark_binary(module, variables, images_ds: Dataset, *,
                      pred_dir: Optional[str] = None, batch_size: int = 64,
                      threshold: float = 0.5, create_images: bool = True):
@@ -95,7 +97,7 @@ def benchmark_binary(module, variables, images_ds: Dataset, *,
         dices.extend(round(float(v), 4) for v in np.asarray(dice))
         if create_images and pred_dir:
             for i in range(preds.shape[0]):
-                cv2.imwrite(os.path.join(
+                imwrite_async(os.path.join(
                     pred_dir, images_ds.names[cursor + i]), preds[i, ..., 0])
         cursor += preds.shape[0]
 
@@ -104,6 +106,7 @@ def benchmark_binary(module, variables, images_ds: Dataset, *,
     return miou, mdice
 
 
+@flushes_writes
 def benchmark_multiclass(module, variables, images_ds: Dataset, *,
                          num_classes: int, class_to_color: dict,
                          pred_dir: Optional[str] = None,
@@ -128,9 +131,9 @@ def benchmark_multiclass(module, variables, images_ds: Dataset, *,
         if create_images and pred_dir:
             for i in range(preds.shape[0]):
                 name = images_ds.names[cursor + i]
-                cv2.imwrite(os.path.join(pred_dir, name), preds[i])
+                imwrite_async(os.path.join(pred_dir, name), preds[i])
                 color = lut[preds[i]]                       # (H, W, 3) RGB
-                cv2.imwrite(os.path.join(pred_dir, f"{name[:-4]}_color.png"),
+                imwrite_async(os.path.join(pred_dir, f"{name[:-4]}_color.png"),
                             cv2.cvtColor(color, cv2.COLOR_RGB2BGR))
         cursor += preds.shape[0]
 
@@ -139,6 +142,7 @@ def benchmark_multiclass(module, variables, images_ds: Dataset, *,
     return mpa, miou
 
 
+@flushes_writes
 def benchmark_hela(module, variables, ds: Dataset, *,
                    pred_dir: Optional[str] = None, batch_size: int = 64,
                    threshold: float = 0.5, save_output: bool = True,
@@ -189,10 +193,10 @@ def benchmark_hela(module, variables, ds: Dataset, *,
 
             if pred_dir and save_output:
                 name = ds.names[cursor + i]
-                cv2.imwrite(os.path.join(pred_dir, "alive", name), alive_u)
-                cv2.imwrite(os.path.join(pred_dir, "dead", name), dead_u)
+                imwrite_async(os.path.join(pred_dir, "alive", name), alive_u)
+                imwrite_async(os.path.join(pred_dir, "dead", name), dead_u)
                 chan = "mod_position" if mod_position else "position"
-                cv2.imwrite(os.path.join(pred_dir, chan, name), pos_u)
+                imwrite_async(os.path.join(pred_dir, chan, name), pos_u)
         cursor += preds.shape[0]
 
     miou = round(float(np.sum(mious) / len(mious)), 3)

@@ -38,6 +38,7 @@ model semantics follow reference unet.py:4-63.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -94,12 +95,54 @@ def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 
+_BN_BF16 = os.environ.get("IM_BN_BF16", "0") == "1"
+_POOL_EQMASK = os.environ.get("IM_POOL_EQMASK", "0") == "1"
+
+
+def _rw_max(x):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+@jax.custom_vjp
+def _maxpool2_eqmask(x):
+    """2x2/2 max-pool whose backward avoids select_and_scatter (slow on
+    TPU and a spatial-minor-layout magnet): gradient is routed to window
+    maxima by equality mask, tie-normalized so the gradient sum is
+    conserved (select_and_scatter credits exactly one maximum; on the rare
+    exact-tie this splits instead — an equally valid subgradient)."""
+    return _rw_max(x)
+
+
+def _maxpool2_eqmask_fwd(x):
+    y = _rw_max(x)
+    return y, (x, y)
+
+
+def _maxpool2_eqmask_bwd(res, g):
+    x, y = res
+    up = lambda v: jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+    eq = (x == up(y)).astype(g.dtype)
+    cnt = jax.lax.reduce_window(eq, jnp.zeros((), g.dtype), jax.lax.add,
+                                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return (eq * up(g / jnp.maximum(cnt, 1)),)
+
+
+_maxpool2_eqmask.defvjp(_maxpool2_eqmask_fwd, _maxpool2_eqmask_bwd)
+
+
 def _bn_flat(x, scale, bias, mean, var, dt):
     """flax-equivalent normalization: float32 math, cast to dt at the end.
 
-    x (..., C) any compute dtype; scale/bias/mean/var (C,) float32."""
-    xf = x.astype(jnp.float32)
+    x (..., C) any compute dtype; scale/bias/mean/var (C,) float32.
+    IM_BN_BF16=1: do the big-tensor arithmetic in the compute dtype
+    (per-channel mul/bias still prepared in f32) — experimental knob for
+    layout/bandwidth measurements."""
     mul = jax.lax.rsqrt(var + BN_EPSILON) * scale
+    if _BN_BF16 and dt != jnp.float32:
+        return (x.astype(dt) - mean.astype(dt)) * mul.astype(dt) \
+            + bias.astype(dt)
+    xf = x.astype(jnp.float32)
     return ((xf - mean) * mul + bias).astype(dt)
 
 
@@ -191,6 +234,8 @@ def packed_unet_apply(stacked_variables: Any, images: jnp.ndarray, *,
     def pool(x):
         # scalar -inf init (any dtype): keeps the reduce_window on the
         # max-monoid autodiff path (flax nn.max_pool does the same)
+        if _POOL_EQMASK and train:
+            return _maxpool2_eqmask(x)
         return jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 

@@ -182,7 +182,7 @@ def make_adapter(key: str, config_path: Optional[str] = None,
     elif key == "hela":
         cfg = fw.hela
         ad = DatasetAdapter(
-            key=key, kind="hela", prefix="HeLa", cfg=cfg,
+            key=key, kind="hela", prefix="HELA", cfg=cfg,  # reference modelname prefix (HeLa/03:46)
             base_dir=cfg.base_dir,
             model_dir=os.path.join(cfg.base_dir, "models"),
             csv_dir=os.path.join(cfg.base_dir, "csv"),
@@ -201,7 +201,8 @@ def make_adapter(key: str, config_path: Optional[str] = None,
                    else class_mappings.CLASS_TO_COLOR_MAPPING_CITYSCAPES)
         ad = DatasetAdapter(
             key=key, kind="multiclass",
-            prefix="SUIM" if key == "suim" else "Cityscapes", cfg=cfg,
+            prefix="SUIM" if key == "suim" else "CITYSCAPES",  # (Cityscapes/03:45)
+            cfg=cfg,
             base_dir=cfg.base_dir,
             model_dir=os.path.join(cfg.base_dir, "models"),
             csv_dir=os.path.join(cfg.base_dir, "csv"),
@@ -736,10 +737,15 @@ def _gather_candidate_models(ad: DatasetAdapter, pattern: str) -> list:
 
 def train_evalnet_population(ad: DatasetAdapter, evalnet_name: str,
                              train_main: str, val_main: str,
-                             population: int = 5) -> list:
+                             population: int = 5,
+                             single: bool = False) -> list:
     """Train 5 EvalNet candidates from identical init, keep top-4 by val
     metric, write results CSV (reference 12:104-133).  Returns the ranked
-    best variables."""
+    best variables.
+
+    ``single=True``: the non-ensemble scripts' semantics (ISIC 10:87-104,
+    SUIM 11:91-116) — ONE candidate, saved as ``{evalnet_name}.h5`` (no
+    topK renames), one-row results CSV named after the model itself."""
     from .evalnet_pipeline.dataset import (load_evalnet_dataset_binary,
                                            load_evalnet_dataset_hela,
                                            load_evalnet_dataset_multiclass)
@@ -749,6 +755,8 @@ def train_evalnet_population(ad: DatasetAdapter, evalnet_name: str,
 
     c = ad.cfg
     d = c.defaults
+    if single:
+        population = 1
     module, two_head = _evalnet_module(ad)
     cb = {"binary": 1, "hela": 3, "multiclass": c.num_classes}[ad.kind]
     stacked = init_population_evalnet(
@@ -777,6 +785,14 @@ def train_evalnet_population(ad: DatasetAdapter, evalnet_name: str,
     # Full best-epoch val metric rows: (mse, mae) single-head / 5-col
     # two-head (reference ISIC_2018/12:110-119, functions.py:4631-4645).
     best_rows = trainer.best_rows
+    if single:
+        save_variables(os.path.join(ad.model_dir, f"{evalnet_name}.h5"),
+                       best[0], {"modelname": evalnet_name})
+        write_results_csv(
+            os.path.join(ad.csv_dir, f"results_{evalnet_name}.csv"),
+            ["modelname"] + trainer.metric_names,
+            [(evalnet_name,) + tuple(float(v) for v in best_rows[0])])
+        return best
     rows = []
     for i, variables in enumerate(best):
         mn = f"{evalnet_name}_{i}"
@@ -861,11 +877,18 @@ def run_evalnet_datagen(ad: DatasetAdapter, runid: int,
 
 def run_evalnet_segnet_stage(ad: DatasetAdapter,
                              train_new_evalnet: bool = True,
-                             evalnet_count: Optional[int] = None) -> None:
-    """The segnet filtering loop (reference 10_*_evalnet_ensemble.py):
-    train an EvalNet ensemble per runid (on plain checkpoint predictions),
-    then per (n, gen) filter the unlabeled set's candidate masks and
-    retrain students."""
+                             evalnet_count: Optional[int] = None,
+                             variant: str = "ensemble") -> None:
+    """The segnet filtering loop (reference 10_*_evalnet[_ensemble].py):
+    train EvalNet(s) per runid (on plain checkpoint predictions), then
+    filter the unlabeled set's candidate masks and retrain students.
+
+    ``variant='ensemble'``: 5-candidate EvalNet population, top-K kept,
+    (n, gen) grid — modelnames ``{prefix}_segnet_{runid}_n{n}_gen{gen}``
+    (HeLa: ``segnet_ensemble``, HeLa/10:148).
+    ``variant='single'``: ONE EvalNet saved as ``{evalnet_name}.h5``, gen
+    grid only — ``{prefix}_segnet_{runid}_gen{gen}`` (ISIC 10:113) resp.
+    ``{prefix}_segnet_miou_{runid}_gen{gen}`` (SUIM 11:119)."""
     from .evalnet_pipeline import (
         create_training_data_evalnet_binary,
         create_training_data_evalnet_multiclass,
@@ -878,7 +901,10 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
     module = ad.module()
 
     for runid in ad.runids:
-        evalnet_name = f"{ad.prefix}_evalnet_{runid}"
+        # mIoU datasets name their quality nets *_evalnet_miou_* (HeLa
+        # 10:101, SUIM 11:91/102, Cityscapes 10:102)
+        ev_base = ("evalnet" if ad.kind == "binary" else "evalnet_miou")
+        evalnet_name = f"{ad.prefix}_{ev_base}_{runid}"
         ev_module, two_head = _evalnet_module(ad)
         if train_new_evalnet:
             # datagen from the 10 subset candidates (pred masks ___i);
@@ -945,14 +971,30 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
                                 os.path.join(ad.val_dir, "brightfield"),
                                 ad.val_dir, val_main, model_i)
             train_evalnet_population(ad, evalnet_name, train_main,
-                                     val_main)
+                                     val_main,
+                                     single=(variant == "single"))
 
-        for n in ad.n_values:
+        def seg_name(n, gen):
+            if variant == "single":
+                mid = ("segnet_miou" if ad.kind == "multiclass"
+                       else "segnet")
+                return f"{ad.prefix}_{mid}_{runid}_gen{gen}"
+            mid = "segnet_ensemble" if ad.kind == "hela" else "segnet"
+            return f"{ad.prefix}_{mid}_{runid}_n{n}_gen{gen}"
+
+        n_grid = [None] if variant == "single" else list(ad.n_values)
+        for n in n_grid:
             for gen in ad.gens:
-                modelname = f"{ad.prefix}_{seg_approach}_{runid}_n{n}_gen{gen}"
+                modelname = seg_name(n, gen)
                 if cell_done(ad, modelname):
                     continue
-                evalnets = ad.load_topk(evalnet_name, evalnet_count or n)
+                if variant == "single":
+                    variables, _ = load_variables(os.path.join(
+                        ad.model_dir, f"{evalnet_name}.h5"))
+                    evalnets = [variables]
+                else:
+                    evalnets = ad.load_topk(evalnet_name,
+                                            evalnet_count or n)
                 pseudo_main = ad.pred_dir("unlabeled", modelname,
                                           seg_approach)
                 if gen == 0:
@@ -963,7 +1005,7 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
                         for j in range(ad.population_first)]
                     last_gen = ""
                 else:
-                    prev = f"{ad.prefix}_{seg_approach}_{runid}_n{n}_gen{gen - 1}"
+                    prev = seg_name(n, gen - 1)
                     mask_dirs = [
                         ad.pred_dir("unlabeled", f"{prev}_{j}",
                                     seg_approach)
@@ -1014,6 +1056,11 @@ def run_im_plus_plus_stage(ad: DatasetAdapter,
         create_augment_images_and_masks_with_gt)
     c = ad.cfg
     suffix = _im_suffix(ad)
+    # mIoU datasets name the IM quality nets *_evalnet_miou_[aug_]im_*
+    # (SUIM 13:108 / 15:108, HeLa 12/14 likewise); binary keeps
+    # evalnet_[aug_]im (ISIC 12:105 / 14:104)
+    if ad.kind != "binary" and not evalnet_tag.startswith("evalnet_miou"):
+        evalnet_tag = evalnet_tag.replace("evalnet_", "evalnet_miou_", 1)
     for runid in ad.runids:
         evalnet_name = f"{ad.prefix}_{evalnet_tag}_{runid}"
         ev_module, _ = _evalnet_module(ad)

@@ -18,8 +18,10 @@ import numpy as np
 
 from ..data.loader import list_pngs
 from ..ops import augment
+from ..utils.io_pool import flushes_writes, imwrite_async
 
 
+@flushes_writes
 def create_augment_images_and_masks_binary(
         images_path: str, masks_path: str, main_output_path: str, *,
         num_images: int = 9, copy_org: bool = True, channels: int = 3,
@@ -66,9 +68,9 @@ def create_augment_images_and_masks_binary(
             aug_mask = np.asarray(aug_masks[0])
             for i, n in enumerate(chunk):
                 oi = aug_img[i] if channels == 3 else aug_img[i][..., 0]
-                cv2.imwrite(os.path.join(
+                imwrite_async(os.path.join(
                     images_out, f"{n[:-4]}_aug_{copy_idx}.png"), oi)
-                cv2.imwrite(os.path.join(
+                imwrite_async(os.path.join(
                     masks_out, f"{n[:-4]}_aug_{copy_idx}.png"), aug_mask[i])
 
 
@@ -79,6 +81,7 @@ create_augment_images_and_masks_multiclass = \
     create_augment_images_and_masks_binary
 
 
+@flushes_writes
 def create_augment_images_and_masks_hela(
         main_input_path: str, main_output_path: str, *, num_images: int = 9,
         copy_org: bool = True, free_rotation: bool = True,
@@ -122,8 +125,8 @@ def create_augment_images_and_masks_hela(
             aug_mask = np.asarray(aug_masks[0])
             for i, n in enumerate(chunk):
                 stem = f"{n[:-4]}_aug_{copy_idx}.png"
-                cv2.imwrite(os.path.join(main_output_path, "brightfield",
+                imwrite_async(os.path.join(main_output_path, "brightfield",
                                          stem), aug_img[i][..., 0])
                 for ci, c in enumerate(chans[1:]):
-                    cv2.imwrite(os.path.join(main_output_path, c, stem),
+                    imwrite_async(os.path.join(main_output_path, c, stem),
                                 aug_mask[i][..., ci])

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..data.loader import Dataset, eval_batches, list_pngs
 from .engine import StackedEnsemble
+from ..utils.io_pool import flushes_writes, imwrite_async
 
 
 def load_depth_dataset(images_dir: str, depth_dir: Optional[str] = None,
@@ -51,6 +52,7 @@ def depth_im(pred_maps: jnp.ndarray, threshold_multiplier: float = 2.0
     return (std > thr).astype(jnp.int32)
 
 
+@flushes_writes
 def benchmark_depth(module, variables, ds: Dataset, *,
                     pred_dir: Optional[str] = None,
                     batch_size: int = 32) -> tuple:
@@ -70,7 +72,7 @@ def benchmark_depth(module, variables, ds: Dataset, *,
             out = np.asarray(jnp.clip(preds * 255.0, 0, 255)
                              ).astype(np.uint8)
             for i in range(out.shape[0]):
-                cv2.imwrite(os.path.join(pred_dir,
+                imwrite_async(os.path.join(pred_dir,
                                          ds.names[cursor + i]),
                             out[i, ..., 0])
         cursor += images.shape[0]
@@ -78,6 +80,7 @@ def benchmark_depth(module, variables, ds: Dataset, *,
     return float(np.sqrt(mse)), mse
 
 
+@flushes_writes
 def create_pseudo_labels_im_depth(module, models: Sequence,
                                   images_dir: str, main_output_path: str, *,
                                   channels: int = 3,
@@ -111,10 +114,10 @@ def create_pseudo_labels_im_depth(module, models: Sequence,
         img_b, depth_b, im = map(np.asarray, (img_b, depth_b, im))
         for i in range(img_b.shape[0]):
             name = ds.names[cursor + i]
-            cv2.imwrite(os.path.join(main_output_path, "images", name),
+            imwrite_async(os.path.join(main_output_path, "images", name),
                         cv2.cvtColor(img_b[i], cv2.COLOR_RGB2BGR)
                         if channels == 3 else img_b[i])
-            cv2.imwrite(os.path.join(main_output_path, "depth_maps", name),
+            imwrite_async(os.path.join(main_output_path, "depth_maps", name),
                         depth_b[i])
-            cv2.imwrite(os.path.join(main_output_path, "im", name), im[i])
+            imwrite_async(os.path.join(main_output_path, "im", name), im[i])
         cursor += img_b.shape[0]

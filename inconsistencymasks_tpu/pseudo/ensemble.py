@@ -25,6 +25,7 @@ import numpy as np
 from ..data.loader import eval_batches, load_images
 from .engine import StackedEnsemble
 from ..postproc.hela import get_min_dist, get_pos_contours
+from ..utils.io_pool import flushes_writes, imwrite_async
 
 
 @jax.jit
@@ -53,6 +54,7 @@ def _hela_soft(probs, threshold):
     return ((mean > threshold) * 255).astype(jnp.uint8)
 
 
+@flushes_writes
 def create_pseudo_labels_model_ensemble_binary(
         module, models: Sequence, images_dir: str, main_output_path: str, *,
         channels: int = 3, threshold: float = 0.5, batch_size: int = 128,
@@ -69,12 +71,13 @@ def create_pseudo_labels_model_ensemble_binary(
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(images[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else images[i])
-            cv2.imwrite(os.path.join(main_output_path, "images", name), bgr)
-            cv2.imwrite(os.path.join(main_output_path, "masks", name),
+            imwrite_async(os.path.join(main_output_path, "images", name), bgr)
+            imwrite_async(os.path.join(main_output_path, "masks", name),
                         masks[i, ..., 0])
         cursor += masks.shape[0]
 
 
+@flushes_writes
 def create_pseudo_labels_model_ensemble_multiclass(
         module, models: Sequence, images_dir: str, main_output_path: str, *,
         channels: int = 3, soft: bool = True, batch_size: int = 128,
@@ -92,12 +95,13 @@ def create_pseudo_labels_model_ensemble_multiclass(
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(images[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else images[i])
-            cv2.imwrite(os.path.join(main_output_path, "images", name), bgr)
-            cv2.imwrite(os.path.join(main_output_path, "masks", name),
+            imwrite_async(os.path.join(main_output_path, "images", name), bgr)
+            imwrite_async(os.path.join(main_output_path, "masks", name),
                         masks[i])
         cursor += masks.shape[0]
 
 
+@flushes_writes
 def create_pseudo_labels_model_ensemble_hela(
         module, models: Sequence, bf_images_dir: str, main_output_path: str,
         *, threshold: float = 0.5, max_pos_circle_size: int = 8,
@@ -122,12 +126,12 @@ def create_pseudo_labels_model_ensemble_hela(
                            min_pos_circle_size)
                 cv2.circle(pos_mask, (p[0], p[1]), size,
                            (255, 255, 255), -1)
-            cv2.imwrite(os.path.join(main_output_path, "brightfield", name),
+            imwrite_async(os.path.join(main_output_path, "brightfield", name),
                         images[i, ..., 0])
-            cv2.imwrite(os.path.join(main_output_path, "alive", name),
+            imwrite_async(os.path.join(main_output_path, "alive", name),
                         masks[i, :, :, 0])
-            cv2.imwrite(os.path.join(main_output_path, "dead", name),
+            imwrite_async(os.path.join(main_output_path, "dead", name),
                         masks[i, :, :, 1])
-            cv2.imwrite(os.path.join(main_output_path, "mod_position", name),
+            imwrite_async(os.path.join(main_output_path, "mod_position", name),
                         pos_mask)
         cursor += masks.shape[0]

@@ -8,9 +8,11 @@ Here the whole chain after imread is ONE XLA program over a batch:
     K-model vmapped inference -> threshold/argmax -> disagreement (IM) ->
     min/max-pool morphology -> gray-out of image and label,
 and the host only decodes inputs and encodes the output PNGs.  Output
-semantics (including the binary write filter ``predsize > im_size > 0``,
-functions.py:2878-2882, and the mean-im-size CSV statistic) match the
-reference exactly.
+semantics (including the binary write filter ``predsize > im_size and
+predsize > 0``, functions.py:2878-2882 — zero-disagreement images ARE
+written — and the mean-im-size CSV statistic) match the reference
+exactly; asserted byte-for-byte against a NumPy/cv2 oracle in
+tests/test_golden_im.py.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ from ..ops import im_core, morphology
 from ..utils.io_pool import AsyncWriter
 from ..postproc.hela import get_min_dist, get_pos_contours
 from .engine import StackedEnsemble
+from ..utils.io_pool import flushes_writes, imwrite_async
 
 
 @partial(jax.jit, static_argnames=("erode_kernel", "dilate_kernel",
@@ -48,6 +51,7 @@ def _fused_im_binary(probs, images, threshold, erode_kernel, dilate_kernel,
     return image_b, mask_b, im, out.im_size, out.pred_size
 
 
+@flushes_writes
 def create_pseudo_labels_im_binary(
         module, models: Sequence, images_dir: str, main_output_path: str, *,
         channels: int = 3, threshold: float = 0.5, erode_kernel: int = 0,
@@ -80,7 +84,10 @@ def create_pseudo_labels_im_binary(
             for i in range(img_b.shape[0]):
                 name = ds.names[cursor + i]
                 im_sizes[name[:-4]] = int(im_size[i])
-                write = (pred_size[i] > im_size[i] > 0
+                # reference filter (functions.py:2878-2882):
+                # predsize > im_size AND predsize > 0 — an image with
+                # ZERO disagreement is still written
+                write = (pred_size[i] > im_size[i] and pred_size[i] > 0
                          if filter_bad_predictions else True)
                 if write:
                     bgr = (cv2.cvtColor(img_b[i], cv2.COLOR_RGB2BGR)
@@ -124,6 +131,7 @@ def _fused_im_multiclass(probs, images, erode_kernel, dilate_kernel,
     return images, pred, im, out.im_size, present
 
 
+@flushes_writes
 def create_pseudo_labels_im_multiclass(
         module, models: Sequence, images_dir: str, main_output_path: str, *,
         num_classes: int, channels: int = 3, erode_kernel: int = 0,
@@ -159,11 +167,11 @@ def create_pseudo_labels_im_multiclass(
             if write:
                 bgr = (cv2.cvtColor(img_b[i], cv2.COLOR_RGB2BGR)
                        if channels == 3 else img_b[i])
-                cv2.imwrite(os.path.join(main_output_path, "images", name),
+                imwrite_async(os.path.join(main_output_path, "images", name),
                             bgr)
-                cv2.imwrite(os.path.join(main_output_path, "masks", name),
+                imwrite_async(os.path.join(main_output_path, "masks", name),
                             pred[i])
-            cv2.imwrite(os.path.join(main_output_path, "im", name), im[i])
+            imwrite_async(os.path.join(main_output_path, "im", name), im[i])
         cursor += img_b.shape[0]
 
     return round(sum(im_sizes.values()) / len(im_sizes), 0)
@@ -188,6 +196,7 @@ def _fused_im_hela(probs, images, threshold, erode_kernel, dilate_kernel):
     return alive, dead, pos_raw, im, out.im_size
 
 
+@flushes_writes
 def create_pseudo_labels_im_hela(
         module, models: Sequence, images_dir: str, main_output_path: str, *,
         threshold: float = 0.5, erode_kernel: int = 0, dilate_kernel: int = 0,
@@ -235,13 +244,13 @@ def create_pseudo_labels_im_hela(
                 a[hole] = 0
                 d[hole] = 0
                 pos_mask[hole] = 0
-            cv2.imwrite(os.path.join(main_output_path, "brightfield", name),
+            imwrite_async(os.path.join(main_output_path, "brightfield", name),
                         bf)
-            cv2.imwrite(os.path.join(main_output_path, "alive", name), a)
-            cv2.imwrite(os.path.join(main_output_path, "dead", name), d)
-            cv2.imwrite(os.path.join(main_output_path, "mod_position", name),
+            imwrite_async(os.path.join(main_output_path, "alive", name), a)
+            imwrite_async(os.path.join(main_output_path, "dead", name), d)
+            imwrite_async(os.path.join(main_output_path, "mod_position", name),
                         pos_mask)
-            cv2.imwrite(os.path.join(main_output_path, "im", name), im[i])
+            imwrite_async(os.path.join(main_output_path, "im", name), im[i])
         cursor += alive.shape[0]
 
     return round(sum(im_sizes.values()) / len(im_sizes), 0)

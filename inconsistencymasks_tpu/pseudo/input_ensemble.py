@@ -31,6 +31,7 @@ import numpy as np
 from ..data.loader import eval_batches, load_images
 from ..ops import augment, d4
 from ..postproc.hela import get_min_dist, get_pos_contours
+from ..utils.io_pool import flushes_writes, imwrite_async
 
 _JIT_CACHE: dict = {}
 
@@ -78,6 +79,7 @@ def _tta_invert_vote_binary(masks_u8, view_idx, threshold_count):
     return ((votes >= threshold_count) * 255).astype(jnp.uint8)
 
 
+@flushes_writes
 def create_pseudo_labels_input_ensemble_binary(
         module, variables, images_dir: str, main_output_path: str, *,
         channels: int = 3, n: int = 2, use_n_rnd_transformations: bool = True,
@@ -125,9 +127,9 @@ def create_pseudo_labels_input_ensemble_binary(
             if np.sum(eroded) > 0:
                 bgr = (cv2.cvtColor(images[i], cv2.COLOR_RGB2BGR)
                        if channels == 3 else images[i])
-                cv2.imwrite(os.path.join(main_output_path, "images", name),
+                imwrite_async(os.path.join(main_output_path, "images", name),
                             bgr)
-                cv2.imwrite(os.path.join(main_output_path, "masks", name),
+                imwrite_async(os.path.join(main_output_path, "masks", name),
                             vote[i])
         cursor += b
 
@@ -151,6 +153,7 @@ def _cumulative_photometric_views(images, rng, n_views, max_blur, max_noise,
     return views  # (n_views, B, H, W, C)
 
 
+@flushes_writes
 def create_pseudo_labels_input_ensemble_multiclass(
         module, variables, images_dir: str, main_output_path: str, *,
         channels: int = 3, n: int = 2, max_blur: int = 1, max_noise: int = 15,
@@ -179,12 +182,13 @@ def create_pseudo_labels_input_ensemble_multiclass(
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(images[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else images[i])
-            cv2.imwrite(os.path.join(main_output_path, "images", name), bgr)
-            cv2.imwrite(os.path.join(main_output_path, "masks", name),
+            imwrite_async(os.path.join(main_output_path, "images", name), bgr)
+            imwrite_async(os.path.join(main_output_path, "masks", name),
                         pred[i])
         cursor += b
 
 
+@flushes_writes
 def create_pseudo_labels_input_ensemble_hela(
         module, variables, bf_images_dir: str, main_output_path: str, *,
         n: int = 2, use_soft_voting: bool = False, threshold: float = 0.5,
@@ -225,12 +229,12 @@ def create_pseudo_labels_input_ensemble_hela(
                            min_pos_circle_size)
                 cv2.circle(pos_mask, (p[0], p[1]), size,
                            (255, 255, 255), -1)
-            cv2.imwrite(os.path.join(main_output_path, "brightfield", name),
+            imwrite_async(os.path.join(main_output_path, "brightfield", name),
                         images[i, ..., 0])
-            cv2.imwrite(os.path.join(main_output_path, "alive", name),
+            imwrite_async(os.path.join(main_output_path, "alive", name),
                         masks[i, :, :, 0])
-            cv2.imwrite(os.path.join(main_output_path, "dead", name),
+            imwrite_async(os.path.join(main_output_path, "dead", name),
                         masks[i, :, :, 1])
-            cv2.imwrite(os.path.join(main_output_path, "mod_position", name),
+            imwrite_async(os.path.join(main_output_path, "mod_position", name),
                         pos_mask)
         cursor += b

@@ -22,6 +22,7 @@ import numpy as np
 from ..data.loader import eval_batches, load_images
 from ..ops import augment
 from ..postproc.hela import get_min_dist, get_pos_contours
+from ..utils.io_pool import flushes_writes, imwrite_async
 
 _JIT_CACHE: dict = {}
 
@@ -42,6 +43,7 @@ def _params(max_blur, max_noise, alpha_range, beta_range, free_rotation):
         free_rotation=free_rotation)
 
 
+@flushes_writes
 def create_pseudo_labels_noisy_student_binary(
         module, variables, images_dir: str, main_output_path: str, *,
         channels: int = 3, threshold: float = 0.5,
@@ -72,12 +74,13 @@ def create_pseudo_labels_noisy_student_binary(
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(aug_img[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else aug_img[i])
-            cv2.imwrite(os.path.join(main_output_path, "images", name), bgr)
-            cv2.imwrite(os.path.join(main_output_path, "masks", name),
+            imwrite_async(os.path.join(main_output_path, "images", name), bgr)
+            imwrite_async(os.path.join(main_output_path, "masks", name),
                         aug_mask[i])
         cursor += aug_img.shape[0]
 
 
+@flushes_writes
 def create_pseudo_labels_noisy_student_multiclass(
         module, variables, images_dir: str, main_output_path: str, *,
         channels: int = 3, brightness_range_alpha=(0.5, 1.5),
@@ -108,12 +111,13 @@ def create_pseudo_labels_noisy_student_multiclass(
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(aug_img[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else aug_img[i])
-            cv2.imwrite(os.path.join(main_output_path, "images", name), bgr)
-            cv2.imwrite(os.path.join(main_output_path, "masks", name),
+            imwrite_async(os.path.join(main_output_path, "images", name), bgr)
+            imwrite_async(os.path.join(main_output_path, "masks", name),
                         aug_mask[i])
         cursor += aug_img.shape[0]
 
 
+@flushes_writes
 def create_pseudo_labels_noisy_student_hela(
         module, variables, images_dir: str, main_output_path: str, *,
         threshold: float = 0.5, brightness_range_alpha=(0.5, 1.5),
@@ -157,12 +161,12 @@ def create_pseudo_labels_noisy_student_hela(
                            min_pos_circle_size)
                 cv2.circle(pos_mask, (pos[0], pos[1]), size,
                            (255, 255, 255), -1)
-            cv2.imwrite(os.path.join(main_output_path, "brightfield",
+            imwrite_async(os.path.join(main_output_path, "brightfield",
                                      f"{stem}_aug.png"), aug_img[i, ..., 0])
-            cv2.imwrite(os.path.join(main_output_path, "alive",
+            imwrite_async(os.path.join(main_output_path, "alive",
                                      f"{stem}_aug.png"), masks[i, :, :, 0])
-            cv2.imwrite(os.path.join(main_output_path, "dead",
+            imwrite_async(os.path.join(main_output_path, "dead",
                                      f"{stem}_aug.png"), masks[i, :, :, 1])
-            cv2.imwrite(os.path.join(main_output_path, "mod_position",
+            imwrite_async(os.path.join(main_output_path, "mod_position",
                                      f"{stem}_aug.png"), pos_mask)
         cursor += aug_img.shape[0]

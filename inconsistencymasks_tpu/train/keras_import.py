@@ -15,9 +15,12 @@ layer is named ``out`` in both, reference unet.py:63), and the i-th
 (kh, kw, cin, cout) = flax layout; BatchNorm gamma/beta/moving_mean/
 moving_variance map to scale/bias/mean/var.
 
-Caveat: validated mechanically against synthetic checkpoints written in the
-Keras layout (tests/test_keras_import.py); numerical round-trips against
-real TF-generated files need a TF environment.
+Validated both ways against REAL ``tf.keras`` HDF5 files
+(tests/test_keras_real_h5.py): a genuine ``model.save('*.h5')`` checkpoint
+of the reference architecture imports with forward agreement at 2e-5, and
+our exports load back through ``tf.keras`` ``load_weights`` with the same
+agreement.  tests/test_keras_import.py additionally covers the mechanical
+layout round-trip without a TF dependency.
 """
 
 from __future__ import annotations
@@ -135,39 +138,79 @@ def keras_h5_to_unet_variables(path: str, template: Any) -> Any:
     return result
 
 
+def _unet_keras_layer_sequence():
+    """The reference U-Net's weighted-layer creation order (reference
+    unet.py:46-63; mirrored by models/unet.py): input conv+BN, 4 encoder
+    blocks (conv, conv, BN), bottleneck (conv, conv, BN), 4 decoder blocks
+    (conv, BN, conv, conv, BN), f32 'out' head.  Keras's legacy HDF5
+    loader zips ``layer_names`` against the model's weighted layers IN
+    ORDER, so the exported attr must follow this sequence."""
+    seq = [("conv", 0), ("bn", 0)]
+    ci, bi = 1, 1
+    for _ in range(4):                      # encoders
+        seq += [("conv", ci), ("conv", ci + 1), ("bn", bi)]
+        ci += 2
+        bi += 1
+    seq += [("conv", ci), ("conv", ci + 1), ("bn", bi)]   # bottleneck
+    ci += 2
+    bi += 1
+    for _ in range(4):                      # decoders
+        seq += [("conv", ci), ("bn", bi), ("conv", ci + 1),
+                ("conv", ci + 2), ("bn", bi + 1)]
+        ci += 3
+        bi += 2
+    seq.append(("out", None))
+    return seq
+
+
 def export_unet_variables_to_keras_h5(variables: Any, path: str) -> None:
     """Inverse of :func:`keras_h5_to_unet_variables` (same positional
-    mapping) — lets reference tooling read models trained here, and powers
-    the importer's round-trip test."""
+    mapping), in the legacy Keras HDF5 weight layout with the
+    ``layer_names``/``weight_names`` attrs a real ``tf.keras``
+    ``load_weights`` requires (validated in tests/test_keras_real_h5.py)
+    — lets reference tooling read models trained here."""
     import h5py
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+
+    def keras_name(kind, idx):
+        if kind == "out":
+            return "out"
+        base = "conv2d" if kind == "conv" else "batch_normalization"
+        return base if idx == 0 else f"{base}_{idx}"
+
     with h5py.File(path, "w") as f:
         mw = f.create_group("model_weights")
+        mw.attrs["backend"] = np.bytes_("tensorflow")
+        mw.attrs["keras_version"] = np.bytes_("2.15.0")
 
-        def put(layer: str, weights: Dict[str, np.ndarray]):
-            g = mw.create_group(layer).create_group(layer)
-            for k, v in weights.items():
-                g.create_dataset(f"{k}:0", data=np.asarray(v))
+        layer_names = []
 
-        conv_i = 0
-        for name in sorted((k for k in params if k.startswith("Conv_")),
-                           key=lambda k: int(k.split("_")[1])):
-            keras_name = "conv2d" if conv_i == 0 else f"conv2d_{conv_i}"
-            put(keras_name, {"kernel": params[name]["kernel"],
-                             "bias": params[name]["bias"]})
-            conv_i += 1
-        bn_i = 0
-        for name in sorted((k for k in params if k.startswith("BatchNorm_")),
-                           key=lambda k: int(k.split("_")[1])):
-            keras_name = ("batch_normalization" if bn_i == 0
-                          else f"batch_normalization_{bn_i}")
-            put(keras_name, {
-                "gamma": params[name]["scale"],
-                "beta": params[name]["bias"],
-                "moving_mean": batch_stats[name]["mean"],
-                "moving_variance": batch_stats[name]["var"]})
-            bn_i += 1
-        put("out", {"kernel": params["out"]["kernel"],
-                    "bias": params["out"]["bias"]})
+        def put(layer: str, weights):
+            # weights: ordered (name, array) pairs, Keras variable order
+            g = mw.create_group(layer)
+            sub = g.create_group(layer)
+            wnames = []
+            for k, v in weights:
+                sub.create_dataset(f"{k}:0", data=np.asarray(v))
+                wnames.append(f"{layer}/{k}:0".encode())
+            g.attrs["weight_names"] = np.array(wnames)
+            layer_names.append(layer.encode())
+
+        for kind, idx in _unet_keras_layer_sequence():
+            if kind == "conv":
+                p = params[f"Conv_{idx}"]
+                put(keras_name(kind, idx),
+                    [("kernel", p["kernel"]), ("bias", p["bias"])])
+            elif kind == "bn":
+                name = f"BatchNorm_{idx}"
+                put(keras_name(kind, idx),
+                    [("gamma", params[name]["scale"]),
+                     ("beta", params[name]["bias"]),
+                     ("moving_mean", batch_stats[name]["mean"]),
+                     ("moving_variance", batch_stats[name]["var"])])
+            else:
+                put("out", [("kernel", params["out"]["kernel"]),
+                            ("bias", params["out"]["bias"])])
+        mw.attrs["layer_names"] = np.array(layer_names)

@@ -34,6 +34,7 @@ Keras-semantics parity:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -184,6 +185,10 @@ class PopulationTrainer:
             raise ValueError(f"unknown forward mode {forward!r}")
         self.packed = (forward != "unrolled" and packable
                        and self.population > 1)
+        # remat for big fused populations: at 256^2/b32, pop<=15 fits HBM
+        # with saved activations; beyond that recompute the forward
+        self.remat = self.packed and self.population > int(
+            os.environ.get("IM_REMAT_ABOVE", "15"))
         self._step_impl = (self._train_step_packed_impl if self.packed
                            else self._train_step_impl)
 
@@ -249,15 +254,28 @@ class PopulationTrainer:
         from ..models.packed_unet import packed_unet_apply
         m = self.module
 
-        def loss_fn(params):
-            probs, new_bs = packed_unet_apply(
-                {"params": params, "batch_stats": state["batch_stats"]},
+        def fwd(params, batch_stats, images):
+            return packed_unet_apply(
+                {"params": params, "batch_stats": batch_stats},
                 images, train=True, num_classes=m.num_classes,
                 activation=m.activation, out_activation=m.out_activation,
                 max_packed_width=self.max_packed_width,
                 compute_dtype=m.compute_dtype, bn_sync_axis=self._bn_axis)
-            per_model = jnp.stack([self.loss_fn(probs[i], targets)
-                                   for i in range(probs.shape[0])])
+
+        if self.remat:
+            # large fused populations exceed HBM if every packed
+            # activation is saved for backward; recompute the forward
+            # instead (fwd is ~25 % of the step, OOM is fatal)
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            probs, new_bs = fwd(params, state["batch_stats"], images)
+            # per-candidate images (P,B,H,W,C) come with per-candidate
+            # targets (P,B,...); the shared-batch path shares both
+            per_tgt = images.ndim == 5
+            per_model = jnp.stack([
+                self.loss_fn(probs[i], targets[i] if per_tgt else targets)
+                for i in range(probs.shape[0])])
             return jnp.sum(per_model), (new_bs, per_model)
 
         (_, (new_bs, loss_val)), grads = jax.value_and_grad(
@@ -282,6 +300,30 @@ class PopulationTrainer:
         images = jnp.take(images_all, idx, axis=0)
         targets = jnp.take(targets_all, idx, axis=0)
         return self._step_impl(state, images, targets)
+
+    def _train_step_multi_impl(self, state, images_all, targets_all, idx,
+                               mask):
+        """Fused multi-CELL step: images_all (C, Nmax, H, W, ch) holds C
+        different training sets in HBM; candidate i belongs to cell
+        i // (P // C) and gathers its own batch via idx (C, B).  ``mask``
+        (P,) bool gates the whole update so cells keep their OWN
+        steps_per_epoch in lockstep (reference trains each cell
+        len(ds)//batch steps per epoch, functions.py:207-218)."""
+        gather = jax.vmap(lambda a, ix: jnp.take(a, ix, axis=0))
+        imgs = gather(images_all, idx)
+        tgts = gather(targets_all, idx)
+        reps = self.population // imgs.shape[0]
+        imgs = jnp.repeat(imgs, reps, axis=0)
+        tgts = jnp.repeat(tgts, reps, axis=0)
+        new_state, loss = self._train_step_packed_impl(state, imgs, tgts)
+
+        def sel(new, old):
+            m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        merged = {k: jax.tree.map(sel, new_state[k], state[k])
+                  for k in ("params", "batch_stats", "opt_state")}
+        return dict(new_state, **merged), loss * mask
 
     def _forward_eval(self, params, batch_stats, images):
         return self.module.apply(
@@ -468,6 +510,86 @@ class PopulationTrainer:
                     self.state, loss_val = self._train_step(self.state,
                                                             images, targets)
                 loss_vals.append(jnp.mean(loss_val))
+            metric = self.evaluate(val_ds, batch_size)
+            self.state = self._select_best(self.state, jnp.asarray(metric))
+            history.append(metric)
+            if log:
+                running = float(jnp.mean(jnp.stack(loss_vals)))
+                log(f"epoch {epoch + 1}/{epochs} "
+                    f"loss {running:.4f} "
+                    f"val_{self.monitor.kind} "
+                    f"{np.array2string(metric, precision=4)} "
+                    f"({time.time() - t0:.1f}s)")
+        return np.stack(history)
+
+    def fit_multi(self, train_datasets, val_ds: Dataset, *, epochs: int,
+                  batch_size: int, steps_per_epoch=None, seed: int = 42,
+                  log: Optional[Callable[[str], None]] = print):
+        """Train a population whose candidates belong to DIFFERENT cells:
+        ``train_datasets`` has C entries; candidate i trains on dataset
+        i // (population // C).  Each cell keeps its own reference
+        steps_per_epoch (len//batch, or the ``steps_per_epoch`` list) via
+        per-step update masking, so a fused run reproduces each solo
+        cell's trajectory.  Requires the packed path and a single-chip
+        (no-data-axis) setup: the cell datasets live whole in HBM."""
+        if not self.packed:
+            raise ValueError("fit_multi requires the packed train path")
+        if self.mesh is not None and self._data_axis:
+            raise ValueError("fit_multi does not support a data-sharded "
+                             "mesh yet")
+        n_cells = len(train_datasets)
+        if self.population % n_cells:
+            raise ValueError(f"population {self.population} not divisible "
+                             f"by {n_cells} cells")
+        cands = self.population // n_cells
+        if steps_per_epoch is None:
+            steps = [max(len(ds) // batch_size, 1) for ds in train_datasets]
+        else:
+            steps = list(steps_per_epoch)
+        max_steps = max(steps)
+
+        n_max = max(len(ds) for ds in train_datasets)
+
+        def pad(a):
+            if a.shape[0] == n_max:
+                return a
+            padding = np.zeros((n_max - a.shape[0],) + a.shape[1:], a.dtype)
+            return np.concatenate([a, padding])
+
+        images_all = jnp.asarray(np.stack(
+            [pad(ds.images) for ds in train_datasets]))
+        targets_all = jnp.asarray(np.stack(
+            [pad(ds.targets) for ds in train_datasets]))
+
+        rngs = [np.random.RandomState(seed) for _ in train_datasets]
+        bufs: list = [[] for _ in train_datasets]
+
+        def next_idx(c):
+            while len(bufs[c]) < batch_size:
+                bufs[c].extend(
+                    rngs[c].permutation(len(train_datasets[c])).tolist())
+            out = np.asarray(bufs[c][:batch_size], np.int32)
+            del bufs[c][:batch_size]
+            return out
+
+        step_fn = jax.jit(self._train_step_multi_impl, donate_argnums=0)
+        # per-step masks: cell c active while t < steps[c]
+        masks = [np.repeat(np.asarray([t < s for s in steps]), cands)
+                 for t in range(max_steps)]
+
+        history = []
+        for epoch in range(epochs):
+            t0 = time.time()
+            loss_vals = []
+            for t in range(max_steps):
+                idx = np.stack([next_idx(c) if steps[c] > t else
+                                np.zeros(batch_size, np.int32)
+                                for c in range(n_cells)])
+                self.state, loss_val = step_fn(
+                    self.state, images_all, targets_all, jnp.asarray(idx),
+                    jnp.asarray(masks[t]))
+                loss_vals.append(jnp.sum(loss_val) / max(sum(
+                    1 for s in steps if s > t), 1) / cands)
             metric = self.evaluate(val_ds, batch_size)
             self.state = self._select_best(self.state, jnp.asarray(metric))
             history.append(metric)

@@ -243,15 +243,30 @@ def run_grid_cells_merged(
                "multiclass": Monitor.multiclass()}[kind]
     loss = "cce" if kind == "multiclass" else "mse"
     tag = "+".join(mn for mn, _ in cells)
-    trainer = PopulationTrainer(
-        module, stacked, loss=loss, monitor=monitor,
-        learning_rate=d.lr, weight_decay=d.wd,
-        num_classes=cfg.num_classes, mesh=mesh)
-    trainer.fit(train_ds, val_ds, epochs=epochs, batch_size=d.batch_size,
-                steps_per_epoch=steps_per_epoch, seed=d.seed,
-                log=(lambda m: log(f"[{tag}] {m}")) if log else None)
 
-    best = trainer.best_variables()
+    # Train in candidate chunks: measured on v5e-1 at 256^2/b32, a packed
+    # population of 15 is the HBM sweet spot (pop 30 does not compile —
+    # ~19 GiB); chunking across cell boundaries keeps every fit at the
+    # best measured throughput.  IM_MERGE_MAX overrides.
+    total = len(cells) * population
+    merge_max = max(int(os.environ.get("IM_MERGE_MAX", "15")), 1)
+    n_chunks = -(-total // merge_max)
+    chunk = -(-total // n_chunks)
+    best = []
+    for start in range(0, total, chunk):
+        part = jax.tree.map(lambda a: a[start:start + chunk], stacked)
+        trainer = PopulationTrainer(
+            module, part, loss=loss, monitor=monitor,
+            learning_rate=d.lr, weight_decay=d.wd,
+            num_classes=cfg.num_classes, mesh=mesh)
+        trainer.fit(
+            train_ds, val_ds, epochs=epochs, batch_size=d.batch_size,
+            steps_per_epoch=steps_per_epoch, seed=d.seed,
+            log=(lambda m: log(f"[{tag} {start}:{start + chunk}] {m}"))
+            if log else None)
+        best.extend(trainer.best_variables())
+        del trainer
+
     results = []
     for ci, (modelname, _) in enumerate(cells):
         results.append(_finish_cell(

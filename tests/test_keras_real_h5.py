@@ -1,0 +1,120 @@
+"""Round-trip a GENUINE tf.keras HDF5 checkpoint through the import
+bridge (VERDICT r1 item 7: the positional conv/BN mapping was previously
+proven only against synthetic files written by our own exporter).
+
+The Keras model below is reconstructed from the documented reference
+architecture (reference unet.py:4-63; see models/unet.py docstring):
+input 1x1 conv + BN; 4 encoder blocks (kxk conv -> 1x1 conv -> BN ->
+maxpool); bottleneck; 4 decoder blocks (2x upsample -> ADD skip -> 1x1
+conv -> BN -> kxk conv -> 1x1 conv -> BN); float32 sigmoid 1x1 head named
+'out'.  Keras layer auto-naming (conv2d, conv2d_1, ...) follows creation
+order, which is what the bridge's positional mapping relies on.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from inconsistencymasks_tpu.models.unet import UNet, create_unet
+from inconsistencymasks_tpu.train.keras_import import (
+    export_unet_variables_to_keras_h5, keras_h5_to_unet_variables)
+
+H = W = 32
+ALPHA = 0.25
+KS = 3
+
+
+def _keras_unet():
+    from tensorflow.keras import layers
+
+    w16, w32, w64, w128, w256 = (int(f * ALPHA)
+                                 for f in (16, 32, 64, 128, 256))
+    inp = layers.Input((H, W, 3))
+    x = layers.Lambda(lambda v: v / 255.0)(inp)
+    x = layers.Conv2D(w16, 1, activation="relu", padding="same",
+                      kernel_initializer="he_normal")(x)
+    c0 = layers.BatchNormalization()(x)
+
+    def enc(x, f1, f2):
+        x = layers.Conv2D(f1, KS, activation="relu", padding="same",
+                          kernel_initializer="he_normal")(x)
+        x = layers.Conv2D(f2, 1, activation="relu", padding="same",
+                          kernel_initializer="he_normal")(x)
+        x = layers.BatchNormalization()(x)
+        return x, layers.MaxPooling2D(2)(x)
+
+    c1, p1 = enc(c0, w16, w16)
+    c2, p2 = enc(p1, w32, w32)
+    c3, p3 = enc(p2, w64, w64)
+    c4, p4 = enc(p3, w128, w128)
+
+    b = layers.Conv2D(w256, KS, activation="relu", padding="same",
+                      kernel_initializer="he_normal")(p4)
+    b = layers.Conv2D(w128, 1, activation="relu", padding="same",
+                      kernel_initializer="he_normal")(b)
+    c5 = layers.BatchNormalization()(b)
+
+    def dec(x, skip, f1, f2):
+        u = layers.add([layers.UpSampling2D(2)(x), skip])
+        c = layers.Conv2D(f1, 1, activation="relu", padding="same",
+                          kernel_initializer="he_normal")(u)
+        c = layers.BatchNormalization()(c)
+        c = layers.Conv2D(f1, KS, activation="relu", padding="same",
+                          kernel_initializer="he_normal")(c)
+        c = layers.Conv2D(f2, 1, activation="relu", padding="same",
+                          kernel_initializer="he_normal")(c)
+        return layers.BatchNormalization()(c)
+
+    c6 = dec(c5, c4, w128, w64)
+    c7 = dec(c6, c3, w64, w32)
+    c8 = dec(c7, c2, w32, w16)
+    c9 = dec(c8, c1, w16, w16)
+
+    out = layers.Conv2D(1, 1, activation="sigmoid", padding="same",
+                        kernel_initializer="he_normal", dtype="float32",
+                        name="out")(c9)
+    return tf.keras.Model(inp, out)
+
+
+def test_real_keras_h5_import(tmp_path, rng):
+    import jax.numpy as jnp
+
+    km = _keras_unet()
+    x = rng.randint(0, 255, (2, H, W, 3)).astype(np.uint8)
+    ref = km.predict(x.astype(np.float32), verbose=0)
+
+    h5 = str(tmp_path / "ref_model.h5")
+    km.save(h5)  # legacy Keras HDF5 whole-model format
+
+    module = UNet(num_classes=1, alpha=ALPHA, activation="relu",
+                  out_activation="sigmoid", compute_dtype=jnp.float32)
+    _, template = create_unet(H, W, 3, 1, ALPHA, "relu", "sigmoid")
+    variables = keras_h5_to_unet_variables(h5, template)
+    got = np.asarray(module.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_export_reimports_into_keras(tmp_path, rng):
+    """Models trained here, exported via the bridge, load back into a real
+    Keras model byte-for-byte (weight-wise)."""
+    import jax.numpy as jnp
+
+    module = UNet(num_classes=1, alpha=ALPHA, activation="relu",
+                  out_activation="sigmoid", compute_dtype=jnp.float32)
+    _, variables = create_unet(H, W, 3, 1, ALPHA, "relu", "sigmoid", seed=7)
+    h5 = str(tmp_path / "export.h5")
+    export_unet_variables_to_keras_h5(variables, h5)
+
+    km = _keras_unet()
+    km.load_weights(h5)
+    x = rng.randint(0, 255, (2, H, W, 3)).astype(np.uint8)
+    ref = km.predict(x.astype(np.float32), verbose=0)
+    got = np.asarray(module.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, atol=2e-5)

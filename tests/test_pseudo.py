@@ -59,7 +59,7 @@ def test_im_binary_outputs(tmp_path):
 
 def test_im_binary_filter_semantics(tmp_path):
     """filter_bad_predictions: images/masks written only when
-    predsize > im_size > 0 (reference functions.py:2878-2882); im always."""
+    predsize > im_size and predsize > 0 (functions.py:2878-2882); im always."""
     m, models, images_dir = _binary_setup(tmp_path)
     out = str(tmp_path / "out_f")
     create_pseudo_labels_im_binary(m, models, images_dir, out,

@@ -121,7 +121,7 @@ emit_dataset("SUIM", "suim", NUM_SUIM)
 # ------------------------------------------------------- evalnet scripts
 w("ISIC_2018/10_ISIC_2018_evalnet.py",
   "EvalNet quality-filtering loop (single EvalNet).",
-  training_body("isic", "run_evalnet_segnet_stage(ad, evalnet_count=1)"))
+  training_body("isic", "run_evalnet_segnet_stage(ad, variant=\"single\")"))
 w("ISIC_2018/10_ISIC_2018_evalnet_ensemble.py",
   "EvalNet-ensemble quality-filtering loop.",
   training_body("isic", "run_evalnet_segnet_stage(ad)"))
@@ -130,7 +130,7 @@ w("HeLa/10_HeLa_evalnet_miou_ensemble.py",
   training_body("hela", "run_evalnet_segnet_stage(ad)"))
 w("SUIM/11_SUIM_evalnet_miou.py",
   "Two-head EvalNet-mIoU (single) filtering loop.",
-  training_body("suim", "run_evalnet_segnet_stage(ad, evalnet_count=1)"))
+  training_body("suim", "run_evalnet_segnet_stage(ad, variant=\"single\")"))
 w("SUIM/11_SUIM_evalnet_miou_ensemble.py",
   "Two-head EvalNet-mIoU ensemble filtering loop.",
   training_body("suim", "run_evalnet_segnet_stage(ad)"))
