@@ -506,11 +506,22 @@ def _generate_im(ad: DatasetAdapter, teachers, approach: str,
 
 def run_im_stage(ad: DatasetAdapter, approach: str = "IM",
                  seed_approach: str = "subset") -> None:
-    """The IM generation loop (reference 09_*_IM.py)."""
+    """The IM generation loop (reference 09_*_IM.py).
+
+    Per generation, ALL pending (runid, n) cells generate their
+    pseudo-labels first, then their student populations train FUSED
+    (fit_multi: per-candidate batch packing, per-cell steps preserved via
+    update masking) — the reference trains the 9 cells' 45 students
+    serially.  Disable with IM_MERGE_CELLS=0 (also off on a data-sharded
+    mesh)."""
+    from .workflows import run_grid_cells_merged
     suffix = _im_suffix(ad)
-    for runid in ad.runids:
-        for n in ad.n_values:
-            for gen in ad.gens:
+    merge = (os.environ.get("IM_MERGE_CELLS", "1") != "0"
+             and ad.mesh is None)
+    for gen in ad.gens:
+        pending = []
+        for runid in ad.runids:
+            for n in ad.n_values:
                 modelname = (f"{ad.prefix}_{approach}_{runid}_n{n}"
                              f"_gen{gen}{suffix}")
                 if cell_done(ad, modelname):
@@ -521,13 +532,34 @@ def run_im_stage(ad: DatasetAdapter, approach: str = "IM",
                 sizes = _generate_im(ad, teachers, approach, modelname)
                 pseudo_main = ad.pred_dir("unlabeled", modelname, approach)
                 ad.copy_labeled_into(pseudo_main)
-                _train_cell(ad, approach, modelname, pseudo_main,
-                            population=ad.population_gen)
+                # written right after generation so a crash between the
+                # fused trainings cannot lose a completed cell's statistic
                 write_results_csv(
                     os.path.join(ad.csv_dir,
                                  f"mean_im_size_{modelname}.csv"),
                     ["val_mean_im_size", "test_mean_im_size",
                      "unlabeled_mean_im_size"], [sizes])
+                pending.append((modelname, pseudo_main, sizes))
+
+        if merge and len(pending) > 1:
+            run_grid_cells_merged(
+                kind=ad.kind, cfg=ad.cfg, module=ad.module(),
+                train_ds=None, val_ds=ad.load_split(ad.val_dir),
+                test_ds=ad.load_split(ad.test_dir),
+                unlabeled_ds=ad.load_split(ad.train_unlabeled_dir),
+                cells=[(mn, stable_seed(mn)) for mn, _, _ in pending],
+                train_datasets=[ad.load_split(pm)
+                                for _, pm, _ in pending],
+                pred_dir_fn=lambda split, mn: ad.pred_dir(split, mn,
+                                                          approach),
+                model_dir=ad.model_dir, csv_dir=ad.csv_dir,
+                population=ad.population_gen, epochs=ad.epochs,
+                mesh=ad.mesh, class_to_color=ad.class_to_color,
+                log=ad.log)
+        else:
+            for modelname, pseudo_main, _ in pending:
+                _train_cell(ad, approach, modelname, pseudo_main,
+                            population=ad.population_gen)
 
 
 def run_model_ensemble_stage(ad: DatasetAdapter) -> None:

@@ -213,6 +213,7 @@ def run_grid_cells_merged(
     steps_per_epoch: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     class_to_color: Optional[dict] = None,
+    train_datasets: Optional[list] = None,   # per-cell sets (fit_multi)
     log=print,
 ) -> list:
     """Train SEVERAL grid cells that share one training set as a single
@@ -247,11 +248,17 @@ def run_grid_cells_merged(
     # Train in candidate chunks: measured on v5e-1 at 256^2/b32, a packed
     # population of 15 is the HBM sweet spot (pop 30 does not compile —
     # ~19 GiB); chunking across cell boundaries keeps every fit at the
-    # best measured throughput.  IM_MERGE_MAX overrides.
+    # best measured throughput.  IM_MERGE_MAX overrides.  With per-cell
+    # train_datasets, chunks respect cell boundaries (fit_multi).
     total = len(cells) * population
     merge_max = max(int(os.environ.get("IM_MERGE_MAX", "15")), 1)
-    n_chunks = -(-total // merge_max)
-    chunk = -(-total // n_chunks)
+    if train_datasets is None:
+        n_chunks = -(-total // merge_max)
+        chunk = -(-total // n_chunks)
+    else:
+        assert len(train_datasets) == len(cells)
+        cells_per_chunk = max(merge_max // population, 1)
+        chunk = cells_per_chunk * population
     best = []
     for start in range(0, total, chunk):
         part = jax.tree.map(lambda a: a[start:start + chunk], stacked)
@@ -259,11 +266,20 @@ def run_grid_cells_merged(
             module, part, loss=loss, monitor=monitor,
             learning_rate=d.lr, weight_decay=d.wd,
             num_classes=cfg.num_classes, mesh=mesh)
-        trainer.fit(
-            train_ds, val_ds, epochs=epochs, batch_size=d.batch_size,
-            steps_per_epoch=steps_per_epoch, seed=d.seed,
-            log=(lambda m: log(f"[{tag} {start}:{start + chunk}] {m}"))
-            if log else None)
+        chunk_log = ((lambda m: log(f"[{tag} {start}:{start + chunk}] {m}"))
+                     if log else None)
+        if train_datasets is None:
+            trainer.fit(
+                train_ds, val_ds, epochs=epochs, batch_size=d.batch_size,
+                steps_per_epoch=steps_per_epoch, seed=d.seed,
+                log=chunk_log)
+        else:
+            cell_lo = start // population
+            cell_hi = min((start + chunk) // population, len(cells))
+            trainer.fit_multi(
+                train_datasets[cell_lo:cell_hi], val_ds, epochs=epochs,
+                batch_size=d.batch_size, steps_per_epoch=steps_per_epoch,
+                seed=d.seed, log=chunk_log)
         best.extend(trainer.best_variables())
         del trainer
 

@@ -72,3 +72,26 @@ def test_merged_matches_solo(isic_env):
         # same inits + same stream; only packing-order float noise after
         # one epoch of training on random data
         np.testing.assert_allclose(a, b, atol=0.08)
+
+
+def test_merged_im_cells(isic_env):
+    """run_im_stage fuses the (runid, n) student cells of a generation
+    (fit_multi path) and still produces every per-cell artifact."""
+    build, monkeypatch = isic_env
+    base, cfg = build("im_merged")
+    from inconsistencymasks_tpu import pipeline
+
+    monkeypatch.setenv("IM_MERGE_CELLS", "1")
+    ad = pipeline.make_adapter("isic", cfg, runids=(1,), gens=(0,),
+                               n_values=(2, 3), population_first=3,
+                               population_gen=2, epochs=1, log=None)
+    pipeline.run_supervised_stage(ad, "subset", ad.train_labeled_dir)
+    pipeline.run_im_stage(ad)
+
+    models = os.listdir(os.path.join(base, "models"))
+    csvs = os.listdir(os.path.join(base, "csv"))
+    for n in (2, 3):
+        cell = f"ISIC_2018_IM_1_n{n}_gen0_e0_d0_bi_True_bo_True"
+        assert sum(f"{cell}_topK_" in m for m in models) == 2, models
+        assert f"results_{cell}.csv" in csvs
+        assert f"mean_im_size_{cell}.csv" in csvs
