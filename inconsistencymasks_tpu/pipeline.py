@@ -22,8 +22,9 @@ Naming contracts preserved exactly:
 - pseudo-label dirs under ``{split}_predictions/{approach}/{modelname}``;
 - ``results_*.csv`` + ``mean_im_size_*.csv`` (09:130-154).
 
-Noisy-Student/IM+ per-generation schedules (reference 08:38-45, 11:46-52):
-alpha 0.5->1.5, blur 0->3, noise 5->25, brightness ranges widening.
+Noisy-Student/IM+ per-generation schedules are dataset-specific (see
+NS_SCHEDULES / CS_SCHEDULES below): alpha grows base+0.25/gen, noise/blur/
+brightness ramps widen per generation (gentler for HeLa/Cityscapes).
 """
 
 from __future__ import annotations
@@ -42,20 +43,73 @@ from .utils.csv_io import write_results_csv
 from .workflows import make_unet, run_grid_cell
 from . import class_mappings
 
-# per-generation schedules (reference ISIC_2018/08_ISIC_2018_noisy_student.py:38-42)
-NS_ALPHAS = [0.5, 0.75, 1.0, 1.25, 1.5]
-NS_MAX_BLURS = [0, 1, 1, 2, 3]
-NS_MAX_NOISES = [5, 10, 15, 20, 25]
-NS_BRIGHTNESS_ALPHAS = [(0.9, 1.1), (0.8, 1.2), (0.7, 1.3), (0.6, 1.4),
-                        (0.5, 1.5)]
-NS_BRIGHTNESS_BETAS = [(-5, 5), (-10, 10), (-15, 15), (-20, 20), (-25, 25)]
+# Per-generation schedules — DATASET-SPECIFIC in the reference:
+# student width alpha = base ALPHA + 0.25/gen everywhere (ISIC
+# 08:39/12:52 [0.5..1.5]; HeLa 08:41, SUIM 09:42, Cityscapes 08:42
+# [1..2]); noise/blur/brightness ramps are gentler for HeLa
+# (08:42-45) and much gentler for Cityscapes (08:43-46).
+NS_SCHEDULES = {
+    "isic": dict(
+        max_blurs=[0, 1, 1, 2, 3], max_noises=[5, 10, 15, 20, 25],
+        brightness_alphas=[(0.9, 1.1), (0.8, 1.2), (0.7, 1.3),
+                           (0.6, 1.4), (0.5, 1.5)],
+        brightness_betas=[(-5, 5), (-10, 10), (-15, 15), (-20, 20),
+                          (-25, 25)]),
+    "suim": dict(
+        max_blurs=[0, 1, 1, 2, 3], max_noises=[5, 10, 15, 20, 25],
+        brightness_alphas=[(0.9, 1.1), (0.8, 1.2), (0.7, 1.3),
+                           (0.6, 1.4), (0.5, 1.5)],
+        brightness_betas=[(-5, 5), (-10, 10), (-15, 15), (-20, 20),
+                          (-25, 25)]),
+    "hela": dict(
+        max_blurs=[0, 1, 1, 2, 3], max_noises=[5, 10, 15, 20, 25],
+        brightness_alphas=[(0.9, 1.1), (0.9, 1.1), (0.8, 1.2),
+                           (0.8, 1.2), (0.7, 1.3)],
+        brightness_betas=[(-3, 3), (-6, 6), (-9, 9), (-12, 12),
+                          (-15, 15)]),
+    "cityscapes": dict(
+        max_blurs=[0, 0, 0, 0, 1], max_noises=[3, 6, 9, 12, 15],
+        brightness_alphas=[(0.95, 1.05), (0.9, 1.1), (0.8, 1.2),
+                           (0.7, 1.3), (0.6, 1.4)],
+        brightness_betas=[(-3, 3), (-6, 6), (-9, 9), (-12, 12),
+                          (-15, 15)]),
+}
 
-# consistency-loss augmentation strengths (reference 05:40-45)
+
+def ns_alpha(ad, gen: int) -> float:
+    """Student width for generation ``gen``: base ALPHA + 0.25 per gen."""
+    return ad.cfg.alpha + 0.25 * gen
+
+
+def ns_sched(ad, gen: int) -> dict:
+    s = NS_SCHEDULES[ad.key]
+    return dict(brightness_range_alpha=s["brightness_alphas"][gen],
+                brightness_range_beta=s["brightness_betas"][gen],
+                max_blur=s["max_blurs"][gen],
+                max_noise=s["max_noises"][gen])
+
+
+# consistency-loss augmentation strengths (reference 05:40-45; Cityscapes
+# 05:43-46 is gentler, the other three datasets share one table)
 CS_STRENGTHS = ["low", "mid", "high"]
-CS_MAX_BLURS = [1, 2, 3]
-CS_MAX_NOISES = [10, 17, 25]
-CS_BRIGHTNESS_ALPHAS = [(0.85, 1.15), (0.7, 1.3), (0.5, 1.5)]
-CS_BRIGHTNESS_BETAS = [(-10, 10), (-17, 17), (-25, 25)]
+CS_SCHEDULES = {
+    "default": dict(
+        max_blurs=[1, 2, 3], max_noises=[10, 17, 25],
+        brightness_alphas=[(0.85, 1.15), (0.7, 1.3), (0.5, 1.5)],
+        brightness_betas=[(-10, 10), (-17, 17), (-25, 25)]),
+    "cityscapes": dict(
+        max_blurs=[0, 0, 1], max_noises=[3, 9, 15],
+        brightness_alphas=[(0.95, 1.05), (0.8, 1.2), (0.6, 1.4)],
+        brightness_betas=[(-3, 3), (-9, 9), (-15, 15)]),
+}
+
+
+def cs_sched(ad, idx: int) -> dict:
+    s = CS_SCHEDULES.get(ad.key, CS_SCHEDULES["default"])
+    return dict(brightness_alpha=s["brightness_alphas"][idx],
+                brightness_beta=s["brightness_betas"][idx],
+                max_blur=s["max_blurs"][idx],
+                max_noise=s["max_noises"][idx])
 
 
 def stable_seed(name: str) -> int:
@@ -382,11 +436,8 @@ def run_consistency_stage(ad: DatasetAdapter, population: int = 5) -> None:
             warm, _ = load_variables(
                 ad.topk_path(f"{ad.prefix}_subset_{runid}", 1))
             stacked = stack_variables([warm] * population)
-            aug = AugmentParams(
-                max_blur=CS_MAX_BLURS[idx], max_noise=CS_MAX_NOISES[idx],
-                brightness_alpha=CS_BRIGHTNESS_ALPHAS[idx],
-                brightness_beta=CS_BRIGHTNESS_BETAS[idx],
-                free_rotation=ad.cfg.free_rotation)
+            aug = AugmentParams(**cs_sched(ad, idx),
+                                free_rotation=ad.cfg.free_rotation)
             trainer = ConsistencyTrainer(
                 module, stacked,
                 loss="cce" if ad.kind == "multiclass" else "mse",
@@ -659,13 +710,10 @@ def run_noisy_student_stage(ad: DatasetAdapter) -> None:
             teacher = ad.load_topk(teacher_name, 1)[0]
             out = ad.pred_dir("unlabeled", modelname, approach)
             src = ad.images_dir(ad.train_unlabeled_dir)
-            kwargs = dict(
-                brightness_range_alpha=NS_BRIGHTNESS_ALPHAS[gen],
-                brightness_range_beta=NS_BRIGHTNESS_BETAS[gen],
-                max_blur=NS_MAX_BLURS[gen], max_noise=NS_MAX_NOISES[gen],
-                free_rotation=c.free_rotation)
-            # the teacher of gen g has alpha NS_ALPHAS[g-1] (gen 0: cfg)
-            t_alpha = c.alpha if gen == 0 else NS_ALPHAS[gen - 1]
+            kwargs = dict(**ns_sched(ad, gen),
+                          free_rotation=c.free_rotation)
+            # the teacher of gen g has alpha ns_alpha(g-1) (gen 0: cfg)
+            t_alpha = c.alpha if gen == 0 else ns_alpha(ad, gen - 1)
             t_module = ad.module(alpha=t_alpha)
             if ad.kind == "binary":
                 create_pseudo_labels_noisy_student_binary(
@@ -683,7 +731,7 @@ def run_noisy_student_stage(ad: DatasetAdapter) -> None:
             ad.copy_labeled_into(out)
             _train_cell(ad, approach, modelname, out,
                         population=ad.population_gen,
-                        alpha=NS_ALPHAS[gen])
+                        alpha=ns_alpha(ad, gen))
 
 
 def run_im_plus_stage(ad: DatasetAdapter, approach: str = "IM_plus",
@@ -718,10 +766,7 @@ def run_im_plus_stage(ad: DatasetAdapter, approach: str = "IM_plus",
                 aug_kwargs = dict(
                     num_images=c.num_images_im_plus,
                     copy_org=keep_unaugmented,
-                    brightness_range_alpha=NS_BRIGHTNESS_ALPHAS[gen],
-                    brightness_range_beta=NS_BRIGHTNESS_BETAS[gen],
-                    max_blur=NS_MAX_BLURS[gen],
-                    max_noise=NS_MAX_NOISES[gen],
+                    **ns_sched(ad, gen),
                     free_rotation=c.free_rotation)
                 if ad.kind == "hela":
                     create_augment_images_and_masks_hela(
@@ -735,7 +780,7 @@ def run_im_plus_stage(ad: DatasetAdapter, approach: str = "IM_plus",
                                      source_main=labeled_source)
                 _train_cell(ad, approach, modelname, plus_main,
                             population=ad.population_gen,
-                            alpha=NS_ALPHAS[gen])
+                            alpha=ns_alpha(ad, gen))
 
 
 # ==========================================================================
@@ -907,6 +952,19 @@ def run_evalnet_datagen(ad: DatasetAdapter, runid: int,
     return train_main, val_main
 
 
+def _min_clamped_steps(ad: DatasetAdapter, pseudo_main: str,
+                       div: int = 3) -> int:
+    """The mIoU segnet scripts clamp the student steps_per_epoch from
+    below by the FULL training set's step count / ``div`` (reference
+    SUIM/11_SUIM_evalnet_miou_ensemble.py:205-211, HeLa/10:206-213,
+    Cityscapes/10:206-213; SUIM/16_SUIM_GT_IM++.py:130 uses div=1)."""
+    bs = ad.cfg.defaults.batch_size
+    full_dir = ad.images_dir(ad.train_full_dir)
+    n_full = len(list_pngs(full_dir)) if os.path.isdir(full_dir) else 0
+    n_pseudo = len(list_pngs(ad.images_dir(pseudo_main)))
+    return max(n_full // bs // div, n_pseudo // bs, 1)
+
+
 def run_evalnet_segnet_stage(ad: DatasetAdapter,
                              train_new_evalnet: bool = True,
                              evalnet_count: Optional[int] = None,
@@ -1066,8 +1124,12 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
                         last_gen_main_path=last_gen,
                         channels=c.image_channels)
                 ad.copy_labeled_into(pseudo_main)
+                steps = (None if ad.kind == "binary"
+                         or variant == "single"
+                         else _min_clamped_steps(ad, pseudo_main))
                 _train_cell(ad, seg_approach, modelname, pseudo_main,
-                            population=ad.population_gen)
+                            population=ad.population_gen,
+                            steps_per_epoch=steps)
 
 
 def run_im_plus_plus_stage(ad: DatasetAdapter,
@@ -1119,10 +1181,7 @@ def run_im_plus_plus_stage(ad: DatasetAdapter,
                 aug_kwargs = dict(
                     min_threshold=c.min_threshold,
                     max_threshold=c.max_threshold,
-                    brightness_range_alpha=NS_BRIGHTNESS_ALPHAS[gen],
-                    brightness_range_beta=NS_BRIGHTNESS_BETAS[gen],
-                    max_blur=NS_MAX_BLURS[gen],
-                    max_noise=NS_MAX_NOISES[gen],
+                    **ns_sched(ad, gen),
                     free_rotation=c.free_rotation)
                 if use_gt_oracle:
                     create_augment_images_and_masks_with_gt(
@@ -1145,7 +1204,7 @@ def run_im_plus_plus_stage(ad: DatasetAdapter,
                                      source_main=labeled_source)
                 _train_cell(ad, approach, modelname, out_main,
                             population=ad.population_gen,
-                            alpha=NS_ALPHAS[gen])
+                            alpha=ns_alpha(ad, gen))
                 write_results_csv(
                     os.path.join(ad.csv_dir,
                                  f"mean_im_size_{modelname}.csv"),
