@@ -9,10 +9,7 @@ import sys, os
 sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from inconsistencymasks_tpu.pipeline import make_adapter, \
-    run_supervised_stage, run_aldt_stage, run_consistency_stage, \
-    run_model_ensemble_stage, run_input_ensemble_stage, \
-    run_noisy_student_stage, run_im_stage, run_im_plus_stage, \
-    run_im_plus_plus_stage, run_evalnet_segnet_stage
+    run_evalnet_segnet_stage
 
 if __name__ == "__main__":
     ad = make_adapter("hela")

@@ -1202,9 +1202,14 @@ def run_im_plus_plus_stage(ad: DatasetAdapter,
                         channels=c.image_channels, **aug_kwargs)
                 ad.copy_labeled_into(out_main,
                                      source_main=labeled_source)
+                # GT_IM++ clamps student steps by the FULL set's count
+                # (reference SUIM/16:126-132, div=1)
+                steps = (_min_clamped_steps(ad, out_main, div=1)
+                         if use_gt_oracle else None)
                 _train_cell(ad, approach, modelname, out_main,
                             population=ad.population_gen,
-                            alpha=ns_alpha(ad, gen))
+                            alpha=ns_alpha(ad, gen),
+                            steps_per_epoch=steps)
                 write_results_csv(
                     os.path.join(ad.csv_dir,
                                  f"mean_im_size_{modelname}.csv"),

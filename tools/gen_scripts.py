@@ -37,12 +37,11 @@ ADAPTER = {
 
 
 def training_body(key, call):
+    import re
+    runners = sorted(set(re.findall(r"\brun_\w+", call)))
     return f'''
 from inconsistencymasks_tpu.pipeline import make_adapter, \\
-    run_supervised_stage, run_aldt_stage, run_consistency_stage, \\
-    run_model_ensemble_stage, run_input_ensemble_stage, \\
-    run_noisy_student_stage, run_im_stage, run_im_plus_stage, \\
-    run_im_plus_plus_stage, run_evalnet_segnet_stage
+    {", ".join(runners)}
 
 if __name__ == "__main__":
     ad = make_adapter("{key}")
