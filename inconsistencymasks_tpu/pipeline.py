@@ -348,6 +348,43 @@ def _train_cell(ad: DatasetAdapter, approach: str, modelname: str,
         class_to_color=ad.class_to_color, log=ad.log)
 
 
+def _train_pending_cells(ad: DatasetAdapter, approach: str, pending,
+                         *, alpha: Optional[float] = None,
+                         steps: Optional[list] = None) -> None:
+    """Train a generation's pending grid cells, FUSED when possible.
+
+    ``pending``: [(modelname, train_main_dir)] — the cells of ONE
+    generation, whose teachers all come from the previous generation, so
+    they are mutually independent and can train as one packed population
+    (fit_multi: per-cell batch gathering, per-cell steps via update
+    masking) instead of the reference's serial per-cell loop (e.g.
+    08_*_noisy_student.py / 11_*_IM+.py / 10_*_evalnet_ensemble.py train
+    every cell's 5 students one-by-one).  ``steps``: optional per-cell
+    steps_per_epoch (None entries = reference default len(ds)//batch).
+    Disable with IM_MERGE_CELLS=0 (also off on a data-sharded mesh)."""
+    from .workflows import run_grid_cells_merged
+    merge = (os.environ.get("IM_MERGE_CELLS", "1") != "0"
+             and ad.mesh is None and len(pending) > 1)
+    if merge:
+        run_grid_cells_merged(
+            kind=ad.kind, cfg=ad.cfg, module=ad.module(alpha),
+            train_ds=None, val_ds=ad.load_split(ad.val_dir),
+            test_ds=ad.load_split(ad.test_dir),
+            unlabeled_ds=ad.load_split(ad.train_unlabeled_dir),
+            cells=[(mn, stable_seed(mn)) for mn, _ in pending],
+            train_datasets=[ad.load_split(tm) for _, tm in pending],
+            steps_per_cell=steps,
+            pred_dir_fn=lambda split, mn: ad.pred_dir(split, mn, approach),
+            model_dir=ad.model_dir, csv_dir=ad.csv_dir,
+            population=ad.population_gen, epochs=ad.epochs, mesh=ad.mesh,
+            class_to_color=ad.class_to_color, log=ad.log)
+        return
+    for i, (modelname, train_main) in enumerate(pending):
+        _train_cell(ad, approach, modelname, train_main,
+                    population=ad.population_gen, alpha=alpha,
+                    steps_per_epoch=steps[i] if steps else None)
+
+
 # ==========================================================================
 # Stage: FDT / LDT / ALDT  (reference 02/03/04_*.py)
 # ==========================================================================
@@ -561,14 +598,9 @@ def run_im_stage(ad: DatasetAdapter, approach: str = "IM",
 
     Per generation, ALL pending (runid, n) cells generate their
     pseudo-labels first, then their student populations train FUSED
-    (fit_multi: per-candidate batch packing, per-cell steps preserved via
-    update masking) — the reference trains the 9 cells' 45 students
-    serially.  Disable with IM_MERGE_CELLS=0 (also off on a data-sharded
-    mesh)."""
-    from .workflows import run_grid_cells_merged
+    (_train_pending_cells) — the reference trains the 9 cells' 45 students
+    serially."""
     suffix = _im_suffix(ad)
-    merge = (os.environ.get("IM_MERGE_CELLS", "1") != "0"
-             and ad.mesh is None)
     for gen in ad.gens:
         pending = []
         for runid in ad.runids:
@@ -590,27 +622,8 @@ def run_im_stage(ad: DatasetAdapter, approach: str = "IM",
                                  f"mean_im_size_{modelname}.csv"),
                     ["val_mean_im_size", "test_mean_im_size",
                      "unlabeled_mean_im_size"], [sizes])
-                pending.append((modelname, pseudo_main, sizes))
-
-        if merge and len(pending) > 1:
-            run_grid_cells_merged(
-                kind=ad.kind, cfg=ad.cfg, module=ad.module(),
-                train_ds=None, val_ds=ad.load_split(ad.val_dir),
-                test_ds=ad.load_split(ad.test_dir),
-                unlabeled_ds=ad.load_split(ad.train_unlabeled_dir),
-                cells=[(mn, stable_seed(mn)) for mn, _, _ in pending],
-                train_datasets=[ad.load_split(pm)
-                                for _, pm, _ in pending],
-                pred_dir_fn=lambda split, mn: ad.pred_dir(split, mn,
-                                                          approach),
-                model_dir=ad.model_dir, csv_dir=ad.csv_dir,
-                population=ad.population_gen, epochs=ad.epochs,
-                mesh=ad.mesh, class_to_color=ad.class_to_color,
-                log=ad.log)
-        else:
-            for modelname, pseudo_main, _ in pending:
-                _train_cell(ad, approach, modelname, pseudo_main,
-                            population=ad.population_gen)
+                pending.append((modelname, pseudo_main))
+        _train_pending_cells(ad, approach, pending)
 
 
 def run_model_ensemble_stage(ad: DatasetAdapter) -> None:
@@ -621,9 +634,10 @@ def run_model_ensemble_stage(ad: DatasetAdapter) -> None:
     approach = "model_ensemble"
     module = ad.module()
     c = ad.cfg
-    for runid in ad.runids:
-        for n in ad.n_values:
-            for gen in ad.gens:
+    for gen in ad.gens:
+        pending = []
+        for runid in ad.runids:
+            for n in ad.n_values:
                 modelname = f"{ad.prefix}_{approach}_{runid}_n{n}_gen{gen}"
                 if cell_done(ad, modelname):
                     continue
@@ -647,8 +661,8 @@ def run_model_ensemble_stage(ad: DatasetAdapter) -> None:
                             channels=c.image_channels, soft=True)
                 pseudo_main = ad.pred_dir("unlabeled", modelname, approach)
                 ad.copy_labeled_into(pseudo_main)
-                _train_cell(ad, approach, modelname, pseudo_main,
-                            population=ad.population_gen)
+                pending.append((modelname, pseudo_main))
+        _train_pending_cells(ad, approach, pending)
 
 
 def run_input_ensemble_stage(ad: DatasetAdapter,
@@ -661,9 +675,10 @@ def run_input_ensemble_stage(ad: DatasetAdapter,
     approach = "input_ensemble"
     module = ad.module()
     c = ad.cfg
-    for runid in ad.runids:
-        for n in n_views:
-            for gen in ad.gens:
+    for gen in ad.gens:
+        pending = []
+        for runid in ad.runids:
+            for n in n_views:
                 modelname = f"{ad.prefix}_{approach}_{runid}_n{n}_gen{gen}"
                 if cell_done(ad, modelname):
                     continue
@@ -689,8 +704,8 @@ def run_input_ensemble_stage(ad: DatasetAdapter,
                             channels=c.image_channels, n=n)
                 pseudo_main = ad.pred_dir("unlabeled", modelname, approach)
                 ad.copy_labeled_into(pseudo_main)
-                _train_cell(ad, approach, modelname, pseudo_main,
-                            population=ad.population_gen)
+                pending.append((modelname, pseudo_main))
+        _train_pending_cells(ad, approach, pending)
 
 
 def run_noisy_student_stage(ad: DatasetAdapter) -> None:
@@ -699,10 +714,10 @@ def run_noisy_student_stage(ad: DatasetAdapter) -> None:
                          create_pseudo_labels_noisy_student_hela,
                          create_pseudo_labels_noisy_student_multiclass)
     approach = "noisy_student"
-    module = ad.module()
     c = ad.cfg
-    for runid in ad.runids:
-        for gen in ad.gens:
+    for gen in ad.gens:
+        pending = []
+        for runid in ad.runids:
             modelname = f"{ad.prefix}_{approach}_{runid}_gen{gen}"
             if cell_done(ad, modelname):
                 continue
@@ -729,9 +744,11 @@ def run_noisy_student_stage(ad: DatasetAdapter) -> None:
                     t_module, teacher, src, out,
                     channels=c.image_channels, **kwargs)
             ad.copy_labeled_into(out)
-            _train_cell(ad, approach, modelname, out,
-                        population=ad.population_gen,
-                        alpha=ns_alpha(ad, gen))
+            pending.append((modelname, out))
+        # all of a generation's runid cells share the student width
+        # ns_alpha(gen), so they fuse into one packed population
+        _train_pending_cells(ad, approach, pending,
+                             alpha=ns_alpha(ad, gen))
 
 
 def run_im_plus_stage(ad: DatasetAdapter, approach: str = "IM_plus",
@@ -746,9 +763,10 @@ def run_im_plus_stage(ad: DatasetAdapter, approach: str = "IM_plus",
                               create_augment_images_and_masks_hela)
     suffix = _im_suffix(ad)
     c = ad.cfg
-    for runid in ad.runids:
-        for n in ad.n_values:
-            for gen in ad.gens:
+    for gen in ad.gens:
+        pending = []
+        for runid in ad.runids:
+            for n in ad.n_values:
                 modelname = (f"{ad.prefix}_{approach}_{runid}_n{n}"
                              f"_gen{gen}{suffix}")
                 if cell_done(ad, modelname):
@@ -757,7 +775,6 @@ def run_im_plus_stage(ad: DatasetAdapter, approach: str = "IM_plus",
                                               suffix, seed_approach)
                 teachers = ad.load_topk(teacher_name, n)
                 # IM into a temp dir (reference 11:67-70)
-                tmp_name = os.path.join("temp", modelname)
                 _generate_im(ad, teachers, approach, modelname,
                              out_root="temp")
                 im_main = ad.pred_dir(
@@ -778,9 +795,9 @@ def run_im_plus_stage(ad: DatasetAdapter, approach: str = "IM_plus",
                         channels=c.image_channels, **aug_kwargs)
                 ad.copy_labeled_into(plus_main,
                                      source_main=labeled_source)
-                _train_cell(ad, approach, modelname, plus_main,
-                            population=ad.population_gen,
-                            alpha=ns_alpha(ad, gen))
+                pending.append((modelname, plus_main))
+        _train_pending_cells(ad, approach, pending,
+                             alpha=ns_alpha(ad, gen))
 
 
 # ==========================================================================
@@ -989,13 +1006,13 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
     d = c.defaults
     seg_approach = "segnet"
     module = ad.module()
+    ev_module, _two_head = _evalnet_module(ad)
+    # mIoU datasets name their quality nets *_evalnet_miou_* (HeLa
+    # 10:101, SUIM 11:91/102, Cityscapes 10:102)
+    ev_base = ("evalnet" if ad.kind == "binary" else "evalnet_miou")
 
     for runid in ad.runids:
-        # mIoU datasets name their quality nets *_evalnet_miou_* (HeLa
-        # 10:101, SUIM 11:91/102, Cityscapes 10:102)
-        ev_base = ("evalnet" if ad.kind == "binary" else "evalnet_miou")
         evalnet_name = f"{ad.prefix}_{ev_base}_{runid}"
-        ev_module, two_head = _evalnet_module(ad)
         if train_new_evalnet:
             # datagen from the 10 subset candidates (pred masks ___i);
             # HeLa's datagen tree lives under 'evalnet_miou_ensemble'
@@ -1064,18 +1081,26 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
                                      val_main,
                                      single=(variant == "single"))
 
-        def seg_name(n, gen):
-            if variant == "single":
-                mid = ("segnet_miou" if ad.kind == "multiclass"
-                       else "segnet")
-                return f"{ad.prefix}_{mid}_{runid}_gen{gen}"
-            mid = "segnet_ensemble" if ad.kind == "hela" else "segnet"
-            return f"{ad.prefix}_{mid}_{runid}_n{n}_gen{gen}"
+    def seg_name(runid, n, gen):
+        if variant == "single":
+            mid = ("segnet_miou" if ad.kind == "multiclass"
+                   else "segnet")
+            return f"{ad.prefix}_{mid}_{runid}_gen{gen}"
+        mid = "segnet_ensemble" if ad.kind == "hela" else "segnet"
+        return f"{ad.prefix}_{mid}_{runid}_n{n}_gen{gen}"
 
-        n_grid = [None] if variant == "single" else list(ad.n_values)
-        for n in n_grid:
-            for gen in ad.gens:
-                modelname = seg_name(n, gen)
+    # generation-outer filtering + FUSED student training: a generation's
+    # (runid, n) cells depend only on generation g-1 artifacts (the
+    # per-candidate unlabeled prediction dirs written by the benchmarks),
+    # so they are independent and train as one packed population.
+    n_grid = [None] if variant == "single" else list(ad.n_values)
+    for gen in ad.gens:
+        pending = []
+        steps_list = []
+        for runid in ad.runids:
+            evalnet_name = f"{ad.prefix}_{ev_base}_{runid}"
+            for n in n_grid:
+                modelname = seg_name(runid, n, gen)
                 if cell_done(ad, modelname):
                     continue
                 if variant == "single":
@@ -1095,7 +1120,7 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
                         for j in range(ad.population_first)]
                     last_gen = ""
                 else:
-                    prev = seg_name(n, gen - 1)
+                    prev = seg_name(runid, n, gen - 1)
                     mask_dirs = [
                         ad.pred_dir("unlabeled", f"{prev}_{j}",
                                     seg_approach)
@@ -1124,12 +1149,11 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
                         last_gen_main_path=last_gen,
                         channels=c.image_channels)
                 ad.copy_labeled_into(pseudo_main)
-                steps = (None if ad.kind == "binary"
-                         or variant == "single"
-                         else _min_clamped_steps(ad, pseudo_main))
-                _train_cell(ad, seg_approach, modelname, pseudo_main,
-                            population=ad.population_gen,
-                            steps_per_epoch=steps)
+                pending.append((modelname, pseudo_main))
+                steps_list.append(
+                    None if ad.kind == "binary" or variant == "single"
+                    else _min_clamped_steps(ad, pseudo_main))
+        _train_pending_cells(ad, seg_approach, pending, steps=steps_list)
 
 
 def run_im_plus_plus_stage(ad: DatasetAdapter,
@@ -1155,16 +1179,20 @@ def run_im_plus_plus_stage(ad: DatasetAdapter,
     # evalnet_[aug_]im (ISIC 12:105 / 14:104)
     if ad.kind != "binary" and not evalnet_tag.startswith("evalnet_miou"):
         evalnet_tag = evalnet_tag.replace("evalnet_", "evalnet_miou_", 1)
-    for runid in ad.runids:
-        evalnet_name = f"{ad.prefix}_{evalnet_tag}_{runid}"
-        ev_module, _ = _evalnet_module(ad)
-        if not use_gt_oracle and train_new_evalnet:
+    ev_module, _ = _evalnet_module(ad)
+    if not use_gt_oracle and train_new_evalnet:
+        for runid in ad.runids:
+            evalnet_name = f"{ad.prefix}_{evalnet_tag}_{runid}"
             train_main, val_main = run_evalnet_datagen(ad, runid,
                                                        evalnet_tag)
             train_evalnet_population(ad, evalnet_name, train_main,
                                      val_main)
-        for n in ad.n_values:
-            for gen in ad.gens:
+    for gen in ad.gens:
+        pending = []
+        steps_list = []
+        for runid in ad.runids:
+            evalnet_name = f"{ad.prefix}_{evalnet_tag}_{runid}"
+            for n in ad.n_values:
                 modelname = (f"{ad.prefix}_{approach}_{runid}_n{n}"
                              f"_gen{gen}{suffix}")
                 if cell_done(ad, modelname):
@@ -1202,16 +1230,17 @@ def run_im_plus_plus_stage(ad: DatasetAdapter,
                         channels=c.image_channels, **aug_kwargs)
                 ad.copy_labeled_into(out_main,
                                      source_main=labeled_source)
-                # GT_IM++ clamps student steps by the FULL set's count
-                # (reference SUIM/16:126-132, div=1)
-                steps = (_min_clamped_steps(ad, out_main, div=1)
-                         if use_gt_oracle else None)
-                _train_cell(ad, approach, modelname, out_main,
-                            population=ad.population_gen,
-                            alpha=ns_alpha(ad, gen),
-                            steps_per_epoch=steps)
+                # written right after generation (crash safety, as IM)
                 write_results_csv(
                     os.path.join(ad.csv_dir,
                                  f"mean_im_size_{modelname}.csv"),
                     ["val_mean_im_size", "test_mean_im_size",
                      "unlabeled_mean_im_size"], [sizes])
+                pending.append((modelname, out_main))
+                # GT_IM++ clamps student steps by the FULL set's count
+                # (reference SUIM/16:126-132, div=1)
+                steps_list.append(
+                    _min_clamped_steps(ad, out_main, div=1)
+                    if use_gt_oracle else None)
+        _train_pending_cells(ad, approach, pending,
+                             alpha=ns_alpha(ad, gen), steps=steps_list)

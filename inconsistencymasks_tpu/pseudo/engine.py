@@ -34,7 +34,7 @@ class StackedEnsemble:
     generation/scoring path is data-sharded automatically on multi-chip."""
 
     def __init__(self, module, variables: Sequence | object,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, forward: str = "auto"):
         mesh = resolve_mesh(mesh)
         self.module = module
         if isinstance(variables, (list, tuple)):
@@ -50,9 +50,28 @@ class StackedEnsemble:
                                           NamedSharding(mesh, P()))
         else:
             self._batch_sharding = None
+        # channel-packed K-model forward (models/packed_unet.py): K members
+        # per MXU pass instead of one, recovering the lanes a tiny
+        # per-model channel count wastes.  Block-diagonal convs are plain
+        # NHWC convs, so the packed program stays GSPMD-data-shardable.
+        from ..models.unet import UNet as _UNet
+        packable = (isinstance(module, _UNet)
+                    and module.dropout_rate_encoder == 0
+                    and module.dropout_rate_decoder == 0
+                    and module.dropout_rate_bottleneck == 0)
+        if forward == "packed" and not packable:
+            raise ValueError("forward='packed' requires a dropout-free UNet")
+        self.packed = (forward != "unrolled" and packable and self.size > 1)
         self._predict = jax.jit(self._predict_impl)
 
     def _predict_impl(self, stacked, images):
+        if self.packed:
+            from ..models.packed_unet import packed_unet_apply
+            m = self.module
+            return packed_unet_apply(
+                stacked, images, train=False, num_classes=m.num_classes,
+                activation=m.activation, out_activation=m.out_activation,
+                compute_dtype=m.compute_dtype)
         # static unroll over the K members (see ops/unroll.py: ~2.4x faster
         # than vmap's grouped-conv lowering on TPU)
         return unrolled_map(

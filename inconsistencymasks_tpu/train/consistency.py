@@ -10,9 +10,13 @@ Candidates warm-start from the SAME pretrained model (the scripts load
 ISIC_2018/05_ISIC_2018_consistency_loss.py:72-75) — population diversity
 comes from independent augmentation randomness per candidate.
 
-TPU design: both passes are single fused programs vmapped over the
-population; the two augmented views and the consistency gradient are
-computed on device.
+TPU design: both passes are single fused programs over the population; the
+two augmented views and the consistency gradient are computed on device.
+Like PopulationTrainer, the population runs CHANNEL-PACKED
+(models/packed_unet.py) whenever the module is a dropout-free UNet: the
+per-candidate photometric views become a (P, B, H, W, C) batch and both
+forward+backward passes fill the MXU lanes that per-model channel counts
+would waste.  Set forward='unrolled' to force the per-model path.
 """
 
 from __future__ import annotations
@@ -35,7 +39,8 @@ class ConsistencyTrainer:
     def __init__(self, module, stacked_variables, *, loss: str,
                  learning_rate: float, weight_decay: float,
                  num_classes: int = 1,
-                 aug_params: Optional[augment.AugmentParams] = None):
+                 aug_params: Optional[augment.AugmentParams] = None,
+                 forward: str = "auto"):
         self.module = module
         self.num_classes = num_classes
         self.loss_name = loss
@@ -52,10 +57,35 @@ class ConsistencyTrainer:
             "best_batch_stats": jax.tree.map(jnp.copy, batch_stats),
             "best_metric": jnp.full((self.population,), jnp.inf),
         }
-        self._sup_step = jax.jit(self._sup_step_impl, donate_argnums=0)
-        self._cons_step = jax.jit(self._cons_step_impl, donate_argnums=0)
-        self._val_step = jax.jit(self._val_step_impl)
+        from ..models.unet import UNet as _UNet
+        packable = (isinstance(module, _UNet)
+                    and module.dropout_rate_encoder == 0
+                    and module.dropout_rate_decoder == 0
+                    and module.dropout_rate_bottleneck == 0)
+        if forward == "packed" and not packable:
+            raise ValueError("forward='packed' requires a dropout-free UNet")
+        self.packed = (forward != "unrolled" and packable
+                       and self.population > 1)
+        if self.packed:
+            self._sup_step = jax.jit(self._sup_step_packed_impl,
+                                     donate_argnums=0)
+            self._cons_step = jax.jit(self._cons_step_packed_impl,
+                                      donate_argnums=0)
+            self._val_step = jax.jit(self._val_step_packed_impl)
+        else:
+            self._sup_step = jax.jit(self._sup_step_impl, donate_argnums=0)
+            self._cons_step = jax.jit(self._cons_step_impl, donate_argnums=0)
+            self._val_step = jax.jit(self._val_step_impl)
         self._select = jax.jit(self._select_impl, donate_argnums=0)
+
+    def _packed_fwd(self, params, batch_stats, images, train=True):
+        from ..models.packed_unet import packed_unet_apply
+        m = self.module
+        return packed_unet_apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=train, num_classes=m.num_classes,
+            activation=m.activation, out_activation=m.out_activation,
+            compute_dtype=m.compute_dtype)
 
     def _loss(self, probs, targets):
         if self.loss_name == "mse":
@@ -81,6 +111,70 @@ class ConsistencyTrainer:
                                    state["batch_stats"],
                                    state["opt_state"])
         return dict(state, params=p, batch_stats=bs, opt_state=o), l
+
+    def _sup_step_packed_impl(self, state, images, targets):
+        """Supervised pass on the channel-packed layout: the candidates are
+        independent, so grad(sum of per-model losses) = per-model grads."""
+        def loss_fn(params):
+            probs, new_bs = self._packed_fwd(params, state["batch_stats"],
+                                             images)
+            per = jnp.stack([self._loss(probs[i], targets)
+                             for i in range(self.population)])
+            return jnp.sum(per), (new_bs, per)
+
+        (_, (new_bs, l)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+
+        def upd(g, o, p):
+            updates, new_o = self.tx.update(g, o, p)
+            return optax.apply_updates(p, updates), new_o
+
+        params, opt_state = unrolled_map(upd, grads, state["opt_state"],
+                                         state["params"])
+        return dict(state, params=params, batch_stats=new_bs,
+                    opt_state=opt_state), l
+
+    def _cons_step_packed_impl(self, state, images, rng):
+        """Consistency pass, packed: the two photometric views per
+        candidate become (P, B, H, W, C) per-candidate batches; both
+        applies (the second on the first's advanced running stats, as the
+        reference's sequential predict-under-GradientTape,
+        functions.py:430-452) run as one packed program each."""
+        k_geo, k_views = jax.random.split(rng)
+        flipped = augment.random_flip_and_rotation(k_geo, images)
+        cand_keys = jax.vmap(jax.random.split)(
+            jax.random.split(k_views, self.population))      # (P, 2, key)
+        view = lambda ks: jax.vmap(lambda k: augment.photometric(
+            k, flipped, self.aug_params, brightness_first=False))(ks)
+        v1 = view(cand_keys[:, 0])
+        v2 = view(cand_keys[:, 1])
+
+        def loss_fn(params):
+            p1, bs1 = self._packed_fwd(params, state["batch_stats"], v1)
+            p2, bs2 = self._packed_fwd(params, bs1, v2)
+            per = jnp.stack([losses.consistency_mse(p1[i], p2[i])
+                             for i in range(self.population)])
+            return jnp.sum(per), (bs2, per)
+
+        (_, (new_bs, l)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+
+        def upd(g, o, p):
+            updates, new_o = self.tx.update(g, o, p)
+            return optax.apply_updates(p, updates), new_o
+
+        params, opt_state = unrolled_map(upd, grads, state["opt_state"],
+                                         state["params"])
+        return dict(state, params=params, batch_stats=new_bs,
+                    opt_state=opt_state), l
+
+    def _val_step_packed_impl(self, params, batch_stats, images, targets,
+                              acc):
+        probs = self._packed_fwd(params, batch_stats, images, train=False)
+        vals = jnp.stack([self._loss(probs[i], targets)
+                          for i in range(self.population)])
+        b = images.shape[0]
+        return {"sum": acc["sum"] + vals * b, "count": acc["count"] + b}
 
     def _cons_step_impl(self, state, images, rng):
         # one shared flip/rot of the batch, then two independent

@@ -64,6 +64,26 @@ def make_unet(cfg: DatasetConfig, alpha: Optional[float] = None,
     )
 
 
+def _hbm_chunk_candidates(cfg: DatasetConfig, module) -> int:
+    """How many packed candidates fit one training program in HBM.
+
+    Anchor: measured on v5e-1, 15 candidates at alpha 0.5, 256^2, batch
+    32, 1-channel f32 head (pop 30 does not compile — ~19 GiB).  Other
+    configurations scale by relative per-candidate cost: activation bytes
+    ~ alpha x pixels; the f32 softmax/one-hot/loss chain adds
+    ~num_classes-proportional head bytes (noisy-student/IM+ generations
+    reach alpha 1.5-2.0; Cityscapes heads have 35 classes).  An explicit
+    IM_MERGE_MAX is respected verbatim."""
+    merge_env = os.environ.get("IM_MERGE_MAX")
+    if merge_env is not None:
+        return max(int(merge_env), 1)
+    px = cfg.image_height * cfg.image_width
+    alpha = getattr(module, "alpha", 0.5)
+    rel = ((alpha / 0.5) * (px / 65536.0)
+           * (1.0 + 0.1 * max(cfg.num_classes - 1, 0)))
+    return max(int(round(15.0 / max(rel, 1e-6))), 1)
+
+
 def _sort_spec(kind: str):
     if kind == "binary":
         return 1, True        # mIoU_val desc
@@ -101,6 +121,8 @@ def run_grid_cell(
     d = cfg.defaults
     epochs = d.num_epochs if epochs is None else epochs
 
+    import jax
+
     if initial_variables is None:
         stacked = init_population(module, cfg.image_height, cfg.image_width,
                                   cfg.image_channels, population, base_seed)
@@ -111,19 +133,29 @@ def run_grid_cell(
                "multiclass": Monitor.multiclass()}[kind]
     loss = "cce" if kind == "multiclass" else "mse"
 
-    trainer = PopulationTrainer(
-        module, stacked, loss=loss, monitor=monitor,
-        learning_rate=d.lr, weight_decay=d.wd,
-        num_classes=cfg.num_classes, mesh=mesh)
-    trainer.fit(train_ds, val_ds, epochs=epochs, batch_size=d.batch_size,
-                steps_per_epoch=steps_per_epoch, seed=d.seed,
-                log=(lambda m: log(f"[{modelname}] {m}")) if log else None)
+    # HBM-bounded candidate chunks (one chunk = one fused packed program;
+    # the anchor config trains all 10 FDT/LDT candidates in one)
+    chunk = _hbm_chunk_candidates(cfg, module)
+    best = []
+    for start in range(0, population, chunk):
+        part = jax.tree.map(lambda a: a[start:start + chunk], stacked)
+        trainer = PopulationTrainer(
+            module, part, loss=loss, monitor=monitor,
+            learning_rate=d.lr, weight_decay=d.wd,
+            num_classes=cfg.num_classes, mesh=mesh)
+        trainer.fit(train_ds, val_ds, epochs=epochs,
+                    batch_size=d.batch_size,
+                    steps_per_epoch=steps_per_epoch, seed=d.seed,
+                    log=(lambda m: log(f"[{modelname}] {m}"))
+                    if log else None)
+        best.extend(trainer.best_variables())
+        del trainer
 
     return _finish_cell(
         kind=kind, cfg=cfg, module=module, val_ds=val_ds, test_ds=test_ds,
         unlabeled_ds=unlabeled_ds, modelname=modelname, model_dir=model_dir,
         csv_dir=csv_dir, pred_dir_fn=pred_dir_fn,
-        best=trainer.best_variables(), class_to_color=class_to_color,
+        best=best, class_to_color=class_to_color,
         write_csv=write_csv, create_pred_images=create_pred_images, log=log)
 
 
@@ -214,6 +246,8 @@ def run_grid_cells_merged(
     mesh: Optional[Mesh] = None,
     class_to_color: Optional[dict] = None,
     train_datasets: Optional[list] = None,   # per-cell sets (fit_multi)
+    steps_per_cell: Optional[list] = None,   # per-cell steps (None entries
+                                             # default to len(ds)//batch)
     log=print,
 ) -> list:
     """Train SEVERAL grid cells that share one training set as a single
@@ -245,13 +279,11 @@ def run_grid_cells_merged(
     loss = "cce" if kind == "multiclass" else "mse"
     tag = "+".join(mn for mn, _ in cells)
 
-    # Train in candidate chunks: measured on v5e-1 at 256^2/b32, a packed
-    # population of 15 is the HBM sweet spot (pop 30 does not compile —
-    # ~19 GiB); chunking across cell boundaries keeps every fit at the
-    # best measured throughput.  IM_MERGE_MAX overrides.  With per-cell
-    # train_datasets, chunks respect cell boundaries (fit_multi).
+    # Train in candidate chunks sized by HBM cost (_hbm_chunk_candidates);
+    # with per-cell train_datasets, chunks respect cell boundaries
+    # (fit_multi).
     total = len(cells) * population
-    merge_max = max(int(os.environ.get("IM_MERGE_MAX", "15")), 1)
+    merge_max = _hbm_chunk_candidates(cfg, module)
     if train_datasets is None:
         n_chunks = -(-total // merge_max)
         chunk = -(-total // n_chunks)
@@ -259,6 +291,11 @@ def run_grid_cells_merged(
         assert len(train_datasets) == len(cells)
         cells_per_chunk = max(merge_max // population, 1)
         chunk = cells_per_chunk * population
+        if steps_per_cell is not None:
+            assert len(steps_per_cell) == len(cells)
+            steps_per_cell = [
+                s if s is not None else max(len(ds) // d.batch_size, 1)
+                for s, ds in zip(steps_per_cell, train_datasets)]
     best = []
     for start in range(0, total, chunk):
         part = jax.tree.map(lambda a: a[start:start + chunk], stacked)
@@ -278,7 +315,10 @@ def run_grid_cells_merged(
             cell_hi = min((start + chunk) // population, len(cells))
             trainer.fit_multi(
                 train_datasets[cell_lo:cell_hi], val_ds, epochs=epochs,
-                batch_size=d.batch_size, steps_per_epoch=steps_per_epoch,
+                batch_size=d.batch_size,
+                steps_per_epoch=(steps_per_cell[cell_lo:cell_hi]
+                                 if steps_per_cell is not None
+                                 else steps_per_epoch),
                 seed=d.seed, log=chunk_log)
         best.extend(trainer.best_variables())
         del trainer

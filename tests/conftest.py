@@ -24,3 +24,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(42)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_default_mesh():
+    """make_adapter registers a PROCESS-WIDE default mesh (parallel.py);
+    restore it around every test so mesh state cannot leak across tests
+    (test ordering independence)."""
+    from inconsistencymasks_tpu import parallel
+    before = parallel._default
+    yield
+    parallel._default = before

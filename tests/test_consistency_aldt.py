@@ -36,6 +36,29 @@ def test_consistency_trainer(tmp_path):
     assert len(tr.best_variables()) == 2
 
 
+def test_consistency_packed_matches_unrolled(tmp_path):
+    """The packed consistency trainer follows the unrolled per-model path
+    (same per-candidate RNG keys; only conv packing float noise)."""
+    make_binary_dataset(str(tmp_path), h=32, w=32, n_labeled=8, n_val=4,
+                        n_unlabeled=8)
+    labeled = load_image_mask_dataset(
+        str(tmp_path / "train_labeled" / "images"))
+    unlabeled = load_images(str(tmp_path / "train_unlabeled" / "images"))
+    val = load_image_mask_dataset(str(tmp_path / "val" / "images"))
+    m = UNet(num_classes=1, alpha=0.25, activation="relu",
+             out_activation="sigmoid")
+    hists = {}
+    for fwd in ("packed", "unrolled"):
+        tr = ConsistencyTrainer(m, init_population(m, 32, 32, 3, 2),
+                                loss="mse", learning_rate=3e-3,
+                                weight_decay=1e-4, forward=fwd)
+        assert tr.packed == (fwd == "packed")
+        hists[fwd] = tr.fit(labeled, unlabeled, val, epochs=1,
+                            batch_size=4, log=None)
+    np.testing.assert_allclose(hists["packed"], hists["unrolled"],
+                               rtol=0, atol=5e-3)
+
+
 def test_aldt_binary(tmp_path):
     make_binary_dataset(str(tmp_path / "d"), h=32, w=32, n_labeled=4)
     out = str(tmp_path / "aug")

@@ -74,6 +74,56 @@ def test_merged_matches_solo(isic_env):
         np.testing.assert_allclose(a, b, atol=0.08)
 
 
+def test_merged_noisy_student_cells(isic_env):
+    """run_noisy_student_stage fuses a generation's runid cells (shared
+    per-gen student alpha) and still produces every per-cell artifact."""
+    build, monkeypatch = isic_env
+    base, cfg = build("ns_merged")
+    from inconsistencymasks_tpu import pipeline
+
+    monkeypatch.setenv("IM_MERGE_CELLS", "1")
+    monkeypatch.setenv("IM_MESH", "none")  # force fit_multi (no data mesh)
+    ad = pipeline.make_adapter("isic", cfg, runids=(1, 2), gens=(0, 1),
+                               population_first=2, population_gen=2,
+                               epochs=1, log=None)
+    pipeline.run_supervised_stage(ad, "subset", ad.train_labeled_dir)
+    pipeline.run_noisy_student_stage(ad)
+
+    models = os.listdir(os.path.join(base, "models"))
+    csvs = os.listdir(os.path.join(base, "csv"))
+    for runid in (1, 2):
+        for gen in (0, 1):
+            cell = f"ISIC_2018_noisy_student_{runid}_gen{gen}"
+            assert sum(f"{cell}_topK_" in m for m in models) == 2, models
+            assert f"results_{cell}.csv" in csvs
+
+
+def test_merged_steps_per_cell(isic_env):
+    """run_grid_cells_merged honours per-cell steps_per_epoch (the segnet
+    min-clamp, reference SUIM/11:205-211) on the fused fit_multi path."""
+    build, monkeypatch = isic_env
+    base, cfg = build("steps")
+    from inconsistencymasks_tpu import pipeline
+    from inconsistencymasks_tpu.workflows import run_grid_cells_merged
+
+    monkeypatch.setenv("IM_MESH", "none")  # fit_multi needs no data mesh
+    ad = pipeline.make_adapter("isic", cfg, log=None)
+    cells = [("cellA", 1), ("cellB", 2)]
+    ds = ad.load_split(ad.train_labeled_dir)
+    run_grid_cells_merged(
+        kind="binary", cfg=ad.cfg, module=ad.module(),
+        train_ds=None, val_ds=ad.load_split(ad.val_dir),
+        test_ds=ad.load_split(ad.test_dir),
+        unlabeled_ds=ad.load_split(ad.train_unlabeled_dir),
+        cells=cells, train_datasets=[ds, ds], steps_per_cell=[2, None],
+        pred_dir_fn=lambda split, mn: ad.pred_dir(split, mn, "steps"),
+        model_dir=ad.model_dir, csv_dir=ad.csv_dir, population=2,
+        epochs=1, log=None)
+    models = os.listdir(os.path.join(base, "models"))
+    for cell in ("cellA", "cellB"):
+        assert sum(f"{cell}_topK_" in m for m in models) == 2
+
+
 def test_merged_im_cells(isic_env):
     """run_im_stage fuses the (runid, n) student cells of a generation
     (fit_multi path) and still produces every per-cell artifact."""
@@ -82,6 +132,7 @@ def test_merged_im_cells(isic_env):
     from inconsistencymasks_tpu import pipeline
 
     monkeypatch.setenv("IM_MERGE_CELLS", "1")
+    monkeypatch.setenv("IM_MESH", "none")  # force fit_multi (no data mesh)
     ad = pipeline.make_adapter("isic", cfg, runids=(1,), gens=(0,),
                                n_values=(2, 3), population_first=3,
                                population_gen=2, epochs=1, log=None)

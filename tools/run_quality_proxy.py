@@ -1,0 +1,98 @@
+"""Quality-trajectory run on the structured ISIC-scale proxy (QUALITY_r2.md).
+
+The real ISIC 2018 archive needs network access this environment lacks, so
+this drives the FULL production pipeline (the actual zero-arg CLI scripts,
+real TPU, reference epochs/populations) on the structured skin-lesion proxy
+(data/synthetic.make_isic_like_dataset: 2,594 train split 10/90, 100 val,
+1,000 test at 256^2 — the real task's scale and split protocol, reference
+ISIC_2018/01_ISIC_2018_split_original_train.py:21-57).
+
+Usage:
+    python tools/run_quality_proxy.py [stage ...]
+stages default to: build 02 03 04 09 11 collect
+Scale-down knobs are inherited from the environment (IM_RUNIDS defaults to
+"1" here — one runid instead of the reference's three — everything else
+reference-default: gens 0-4, n in {2,3,4}, 10/5 candidates, 50 epochs).
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.environ.get("IM_QUALITY_BASE", "/tmp/im_quality")
+ISIC = os.path.join(BASE, "ISIC_2018") + os.sep
+CFG = os.path.join(BASE, "config.ini")
+
+SCRIPTS = {
+    "02": "02_ISIC_2018_full_dataset.py",
+    "03": "03_ISIC_2018_subset.py",
+    "04": "04_ISIC_2018_subset_aug.py",
+    "09": "09_ISIC_2018_IM.py",
+    "11": "11_ISIC_2018_IM+.py",
+    "12": "12_ISIC_2018_IM++.py",
+}
+
+
+def build():
+    import configparser
+    sys.path.insert(0, REPO)
+    from inconsistencymasks_tpu.data.synthetic import make_isic_like_dataset
+
+    if not os.path.isdir(os.path.join(ISIC, "train_labeled", "images")):
+        t0 = time.time()
+        make_isic_like_dataset(ISIC)
+        print(f"[build] proxy dataset in {time.time() - t0:.0f}s")
+    # train_full = labeled + unlabeled (the reference's 01 split goes the
+    # other way: train_full is the source); hardlinks, no copies
+    for sub in ("images", "masks"):
+        full = os.path.join(ISIC, "train_full", sub)
+        os.makedirs(full, exist_ok=True)
+        for split in ("train_labeled", "train_unlabeled"):
+            src_dir = os.path.join(ISIC, split, sub)
+            for n in os.listdir(src_dir):
+                dst = os.path.join(full, n)
+                if not os.path.exists(dst):
+                    os.link(os.path.join(src_dir, n), dst)
+    cp = configparser.ConfigParser()
+    cp.read(os.path.join(REPO, "config.ini"))
+    cp["ISIC_2018"]["BASE_DIR"] = ISIC
+    with open(CFG, "w") as f:
+        cp.write(f)
+    print(f"[build] config at {CFG}")
+
+
+def run_stage(num: str):
+    env = dict(os.environ, IM_CONFIG=CFG)
+    env.setdefault("IM_RUNIDS", "1")
+    script = os.path.join(REPO, "ISIC_2018", SCRIPTS[num])
+    t0 = time.time()
+    print(f"[{num}] {SCRIPTS[num]} starting", flush=True)
+    r = subprocess.run([sys.executable, script], env=env, cwd=REPO)
+    dt = time.time() - t0
+    print(f"[{num}] exit {r.returncode} in {dt / 60:.1f} min", flush=True)
+    if r.returncode != 0:
+        sys.exit(r.returncode)
+
+
+def collect():
+    subprocess.run([sys.executable,
+                    os.path.join(REPO, "tools", "collect_quality.py"),
+                    ISIC])
+
+
+def main():
+    stages = sys.argv[1:] or ["build", "02", "03", "04", "09", "11",
+                              "collect"]
+    for s in stages:
+        if s == "build":
+            build()
+        elif s == "collect":
+            collect()
+        else:
+            run_stage(s)
+
+
+if __name__ == "__main__":
+    main()
