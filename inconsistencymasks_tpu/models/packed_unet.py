@@ -97,6 +97,17 @@ def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int
 
 _BN_BF16 = os.environ.get("IM_BN_BF16", "0") == "1"
 _POOL_EQMASK = os.environ.get("IM_POOL_EQMASK", "0") == "1"
+_POOL_RESHAPE = os.environ.get("IM_POOL_RESHAPE", "0") == "1"
+
+
+def _maxpool2_reshape(x):
+    """2x2/2 max-pool as reshape + max-reduce: no reduce_window (whose
+    spatial-minor layout preference forces transpose copies around every
+    pool boundary) and a select_and_scatter-free backward (jnp.max's VJP
+    is an equality-masked where)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
 
 
 def _rw_max(x):
@@ -232,6 +243,8 @@ def packed_unet_apply(stacked_variables: Any, images: jnp.ndarray, *,
         return out
 
     def pool(x):
+        if _POOL_RESHAPE:
+            return _maxpool2_reshape(x)
         # scalar -inf init (any dtype): keeps the reduce_window on the
         # max-monoid autodiff path (flax nn.max_pool does the same)
         if _POOL_EQMASK and train:

@@ -29,9 +29,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _sep_morph(x_i32, kernel: int, is_max: bool):
+    """Separable (kernel x kernel) min/max over a (H, W) int32 plane with
+    cv2 border parity (erode pads with the max identity so the border
+    never shrinks foreground; dilate pads with 0) — 1-D passes over rows
+    then columns keep live temporaries inside the VMEM scoped-stack
+    budget.  Mirrors ops/morphology._pool (cv2-parity-tested)."""
+    combine = jnp.maximum if is_max else jnp.minimum
+    ident = 0 if is_max else 1
+    lo = kernel // 2
+    hi = kernel - 1 - lo
+    h, w = x_i32.shape
+    p = jnp.pad(x_i32, ((lo, hi), (0, 0)), constant_values=ident)
+    acc = p[0:h]
+    for s in range(1, kernel):
+        acc = combine(acc, p[s:s + h])
+    p = jnp.pad(acc, ((0, 0), (lo, hi)), constant_values=ident)
+    acc = p[:, 0:w]
+    for s in range(1, kernel):
+        acc = combine(acc, p[:, s:s + w])
+    return acc
+
+
 def _kernel(probs_ref, images_ref, thr_ref,
             img_out_ref, mask_out_ref, im_out_ref, im_raw_ref,
-            *, k: int, dilate: bool):
+            *, k: int, erode_k: int, dilate_k: int, block_input: bool,
+            block_output: bool):
     # probs_ref: (1, K, H, W) f32;  images_ref: (1, H, W, C) u8
     thr = thr_ref[0]
     votes = jnp.zeros(probs_ref.shape[2:], jnp.int32)          # (H, W)
@@ -44,40 +67,42 @@ def _kernel(probs_ref, images_ref, thr_ref,
     im_raw_ref[0] = im.astype(jnp.uint8)
 
     im_i = im.astype(jnp.int32)
-    if dilate:
-        # separable 3x3 dilation with zero border (cv2 parity: dilate's
-        # border identity is -inf == 0 for binary masks): 1-D max over rows
-        # then over columns — fewer live temporaries than the 9-shift form
-        # (keeps the kernel inside the 16 MB VMEM scoped-stack budget).
-        h, w = im_i.shape
-        p = jnp.pad(im_i, ((1, 1), (0, 0)))
-        im_i = jnp.maximum(jnp.maximum(p[0:h], p[1:h + 1]), p[2:h + 2])
-        p = jnp.pad(im_i, ((0, 0), (1, 1)))
-        im_i = jnp.maximum(jnp.maximum(p[:, 0:w], p[:, 1:w + 1]),
-                           p[:, 2:w + 2])
+    if erode_k > 0:
+        im_i = _sep_morph(im_i, erode_k, is_max=False)
+    if dilate_k > 0:
+        im_i = _sep_morph(im_i, dilate_k, is_max=True)
 
     hole = im_i > 0
     # Mosaic restriction: minor-dim-inserting broadcasts are only supported
     # for 32-bit types, so the masked multiply runs in int32.
     keep_i32 = 1 - hole.astype(jnp.int32)                      # (H, W)
     img_i32 = images_ref[0].astype(jnp.int32)                  # (H, W, C)
-    img_out_ref[0] = (img_i32 * keep_i32[..., None]).astype(jnp.uint8)
-    mask_out_ref[0] = (pred.astype(jnp.int32) * keep_i32 * 255
+    img_keep = keep_i32 if block_input else jnp.ones_like(keep_i32)
+    msk_keep = keep_i32 if block_output else jnp.ones_like(keep_i32)
+    img_out_ref[0] = (img_i32 * img_keep[..., None]).astype(jnp.uint8)
+    mask_out_ref[0] = (pred.astype(jnp.int32) * msk_keep * 255
                        ).astype(jnp.uint8)
     im_out_ref[0] = (hole.astype(jnp.int32) * 255).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dilate_3x3", "interpret"))
+                   static_argnames=("erode_kernel", "dilate_kernel",
+                                    "block_input", "block_output",
+                                    "interpret"))
 def fused_im_postprocess_binary(probs, images, threshold,
-                                dilate_3x3: bool = False,
+                                erode_kernel: int = 0,
+                                dilate_kernel: int = 0,
+                                block_input: bool = True,
+                                block_output: bool = True,
                                 interpret: bool = False):
     """probs (K, B, H, W, 1) f32, images (B, H, W, C) u8 ->
     (blocked_img u8, blocked_mask (B,H,W) u8, im (B,H,W) u8,
      im_size (B,) i32, pred_size (B,) i32).
 
-    Semantics == ops.im_core.binary_im + optional 3x3 dilate + blockout
-    (block_input=block_output=True).
+    Semantics == ops.im_core.binary_im + erode/dilate (cv2 parity) +
+    blockout — the full binary production post-process
+    (reference functions.py:3104-3120 + 2858-2874), so pseudo/im.py can
+    run it behind IM_PALLAS=1.
     """
     k, b, h, w, _ = probs.shape
     c = images.shape[-1]
@@ -91,12 +116,17 @@ def fused_im_postprocess_binary(probs, images, threshold,
     if b > chunk and b % chunk == 0:
         outs = [fused_im_postprocess_binary(
             probs[:, s:s + chunk], images[s:s + chunk], threshold,
-            dilate_3x3=dilate_3x3, interpret=interpret)
+            erode_kernel=erode_kernel, dilate_kernel=dilate_kernel,
+            block_input=block_input, block_output=block_output,
+            interpret=interpret)
             for s in range(0, b, chunk)]
         return tuple(jnp.concatenate([o[i] for o in outs])
                      for i in range(5))
 
-    kernel = functools.partial(_kernel, k=k, dilate=dilate_3x3)
+    kernel = functools.partial(_kernel, k=k, erode_k=erode_kernel,
+                               dilate_k=dilate_kernel,
+                               block_input=block_input,
+                               block_output=block_output)
     out_shapes = (
         jax.ShapeDtypeStruct((b, h, w, c), jnp.uint8),
         jax.ShapeDtypeStruct((b, h, w), jnp.uint8),

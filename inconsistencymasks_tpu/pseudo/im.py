@@ -63,6 +63,9 @@ def create_pseudo_labels_im_binary(
     functions.py:2889)."""
     ens = ensemble or StackedEnsemble(module, models)
     ds = load_images(images_dir, channels)
+    # IM_PALLAS=1: run the post-process as the single-VMEM-pass Pallas
+    # kernel (ops/pallas/im_postproc.py) instead of the XLA-fused program
+    use_pallas = os.environ.get("IM_PALLAS", "0") == "1"
 
     for sub in ("images", "masks", "im"):
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
@@ -73,9 +76,20 @@ def create_pseudo_labels_im_binary(
         for images, _ in eval_batches(ds, batch_size):
             images_j = jnp.asarray(images)
             probs = ens.predict_probs(images_j)
-            img_b, mask_b, im, im_size, pred_size = _fused_im_binary(
-                probs, images_j, threshold, erode_kernel, dilate_kernel,
-                block_input, block_output)
+            if use_pallas:
+                from ..ops.pallas.im_postproc import (
+                    fused_im_postprocess_binary)
+                img_b, mask2d, im, im_size, pred_size = \
+                    fused_im_postprocess_binary(
+                        probs, images_j, threshold,
+                        erode_kernel=erode_kernel,
+                        dilate_kernel=dilate_kernel,
+                        block_input=block_input, block_output=block_output)
+                mask_b = mask2d[..., None]
+            else:
+                img_b, mask_b, im, im_size, pred_size = _fused_im_binary(
+                    probs, images_j, threshold, erode_kernel,
+                    dilate_kernel, block_input, block_output)
             img_b = np.asarray(img_b)
             mask_b = np.asarray(mask_b)
             im = np.asarray(im)

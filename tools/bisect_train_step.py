@@ -11,6 +11,7 @@ fenced by a scalar fetch, slope between short/long chains):
 Optionally writes a profiler trace with --trace.
 """
 
+import os
 import sys
 import time
 
@@ -25,8 +26,9 @@ from inconsistencymasks_tpu.models.unet import UNet
 from inconsistencymasks_tpu.train.population import init_population
 from inconsistencymasks_tpu.train.trainer import Monitor, PopulationTrainer
 
-POP, BATCH, HW = 5, 32, 256
-WIDTH = 160
+POP = int(os.environ.get("POP", 5))
+BATCH, HW = 32, 256
+WIDTH = int(os.environ.get("WIDTH", 128))
 
 
 def chain_time(fn, state, images, n1=4, n2=16):
