@@ -24,8 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..class_mappings import class_to_color_lut
-from ..data.loader import Dataset, eval_batches
-from ..ops import metrics
+from ..data.loader import Dataset, device_eval_batches, eval_batches
+from ..ops import bitpack, metrics
 from ..postproc.hela import get_cell_count, get_pos_contours, mod_pos_size
 from ..utils.io_pool import flushes_writes, imwrite_async
 
@@ -54,7 +54,8 @@ def _binary_postproc(probs, gt, threshold):
     p2d, g2d = pred_u8[..., 0], gt[..., 0]
     iou = metrics.iou_binary(g2d, p2d)
     dice = metrics.dice_binary(g2d * 255, p2d)
-    return pred_u8, iou, dice
+    # masks cross the (slow) device->host link bit-packed, 8 px/byte
+    return bitpack.packbits2d(p2d), iou, dice
 
 
 @_partial(jax.jit, static_argnums=2)
@@ -66,8 +67,11 @@ def _multiclass_postproc(probs, gt, num_classes):
 
 
 @jax.jit
-def _threshold_channels(probs, threshold):
-    return ((probs > threshold) * 255).astype(jnp.uint8)
+def _threshold_pack(probs, threshold):
+    """(B, H, W, C) probs -> (B, C, H, W//8) bit-packed thresholded
+    masks (8x fewer device->host bytes on the slow relay)."""
+    m = jnp.moveaxis(probs > threshold, -1, 1)
+    return bitpack.packbits2d(m)
 
 
 
@@ -89,17 +93,18 @@ def benchmark_binary(module, variables, images_ds: Dataset, *,
 
     ious, dices = [], []
     cursor = 0
-    for images, gts in eval_batches(images_ds, batch_size):
-        probs = forward(variables, jnp.asarray(images))
-        preds, iou, dice = postproc(probs, jnp.asarray(gts))
-        preds = np.asarray(preds)
+    w = images_ds.images.shape[2]
+    for images, gts in device_eval_batches(images_ds, batch_size):
+        probs = forward(variables, images)
+        packed, iou, dice = postproc(probs, gts)
         ious.extend(round(float(v), 4) for v in np.asarray(iou))
         dices.extend(round(float(v), 4) for v in np.asarray(dice))
         if create_images and pred_dir:
+            preds = bitpack.unpackbits2d(np.asarray(packed), w) * np.uint8(255)
             for i in range(preds.shape[0]):
                 imwrite_async(os.path.join(
-                    pred_dir, images_ds.names[cursor + i]), preds[i, ..., 0])
-        cursor += preds.shape[0]
+                    pred_dir, images_ds.names[cursor + i]), preds[i])
+        cursor += packed.shape[0]
 
     miou = round(float(np.sum(ious) / len(ious)), 3)
     mdice = round(float(np.sum(dices) / len(dices)), 3)
@@ -122,9 +127,9 @@ def benchmark_multiclass(module, variables, images_ds: Dataset, *,
 
     pas, ious = [], []
     cursor = 0
-    for images, gts in eval_batches(images_ds, batch_size):
-        probs = forward(variables, jnp.asarray(images))
-        preds, pa, iou = postproc(probs, jnp.asarray(gts))
+    for images, gts in device_eval_batches(images_ds, batch_size):
+        probs = forward(variables, images)
+        preds, pa, iou = postproc(probs, gts)
         preds = np.asarray(preds)
         pas.extend(round(float(v), 4) for v in np.asarray(pa))
         ious.extend(round(float(v), 4) for v in np.asarray(iou))
@@ -156,7 +161,6 @@ def benchmark_hela(module, variables, ds: Dataset, *,
     eval-only, off the hot path (reference functions.py:1222-1245).
     """
     forward = _forward_fn(module)
-    threshold_channels = lambda probs: _threshold_channels(probs, threshold)
 
     if pred_dir and save_output:
         for chan in ("alive", "dead",
@@ -166,13 +170,16 @@ def benchmark_hela(module, variables, ds: Dataset, *,
     mious, mious_ad = [], []
     cell_count_delta = 0
     cursor = 0
-    for images, gts in eval_batches(ds, batch_size):
-        probs = forward(variables, jnp.asarray(images))
-        preds = np.asarray(threshold_channels(probs))
+    w = ds.images.shape[2]
+    for images, gts in device_eval_batches(ds, batch_size,
+                                           device_targets=False):
+        probs = forward(variables, images)
+        packed = np.asarray(_threshold_pack(probs, threshold))
+        preds = bitpack.unpackbits2d(packed, w) * np.uint8(255)
         gts = np.asarray(gts)
         for i in range(preds.shape[0]):
-            alive_u, dead_u, pos_u = (preds[i, :, :, 0], preds[i, :, :, 1],
-                                      preds[i, :, :, 2])
+            alive_u, dead_u, pos_u = (preds[i, 0], preds[i, 1],
+                                      preds[i, 2])
             if mod_position:
                 pos_u = mod_pos_size(pos_u)
             gt_alive = (gts[i, :, :, 0] > 0).astype(np.uint8) * 255

@@ -1,0 +1,45 @@
+"""Device-side bit-packing for binary masks.
+
+The relay between this host and the TPU moves device->host traffic at
+~1 MB/s, so downloading full (H, W) uint8 masks (64 KB each at 256^2)
+dominates production wall-clock (benchmarks download one mask per image
+per candidate; IM generation used to download whole blocked images).
+Packing 8 binary pixels per byte ON DEVICE cuts the transfer 8x, and the
+blocked image/mask PNGs are composed on the host from the ORIGINAL images
+it already holds (``image[im > 0] = 0`` is a pure mask-out, reference
+functions.py:2867-2874 — byte-identical to the device blockout).
+
+numpy's bit order for ``unpackbits`` is MSB-first; the device dot below
+uses the same weights so round-trips are exact.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_WEIGHTS = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+
+
+def packbits2d(mask) -> jnp.ndarray:
+    """(..., H, W) bool/int -> (..., H, W//8) uint8, MSB-first (numpy
+    ``unpackbits`` compatible).  W must be a multiple of 8."""
+    m = (mask > 0).astype(jnp.int32)
+    shape = m.shape
+    w = shape[-1]
+    m = m.reshape(shape[:-1] + (w // 8, 8))
+    packed = jnp.sum(m * _WEIGHTS, axis=-1)
+    return packed.astype(jnp.uint8)
+
+
+def unpackbits2d(packed: np.ndarray, width: int) -> np.ndarray:
+    """(..., H, W//8) uint8 -> (..., H, W) uint8 in {0, 1} (host)."""
+    bits = np.unpackbits(np.asarray(packed), axis=-1)
+    return bits[..., :width]
+
+
+# jitted entry point for call sites OUTSIDE a jit (eager dispatch is ~1 s/op
+# on this backend)
+import jax as _jax          # noqa: E402
+
+packbits2d_jit = _jax.jit(packbits2d)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import eval_batches, load_images
+from ..ops import bitpack
 from .engine import StackedEnsemble
 from ..postproc.hela import get_min_dist, get_pos_contours
 from ..utils.io_pool import flushes_writes, imwrite_async
@@ -54,6 +55,17 @@ def _hela_soft(probs, threshold):
     return ((mean > threshold) * 255).astype(jnp.uint8)
 
 
+@jax.jit
+def _pack_binary(probs, threshold):
+    return bitpack.packbits2d(_binary_unanimous(probs, threshold)[..., 0])
+
+
+@jax.jit
+def _pack_hela(probs, threshold):
+    m = jnp.moveaxis(_hela_soft(probs, threshold), -1, 1)   # (B,3,H,W)
+    return bitpack.packbits2d(m)
+
+
 @flushes_writes
 def create_pseudo_labels_model_ensemble_binary(
         module, models: Sequence, images_dir: str, main_output_path: str, *,
@@ -64,16 +76,20 @@ def create_pseudo_labels_model_ensemble_binary(
     for sub in ("images", "masks"):
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
     cursor = 0
+    width = ds.images.shape[2]
     for images, _ in eval_batches(ds, batch_size):
         probs = ens.predict_probs(jnp.asarray(images))
-        masks = np.asarray(_binary_unanimous(probs, threshold))
+        # bit-packed across the slow device->host link (8 px/byte)
+        packed = _pack_binary(probs, threshold)
+        masks = bitpack.unpackbits2d(np.asarray(packed),
+                                     width) * np.uint8(255)
         for i in range(masks.shape[0]):
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(images[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else images[i])
             imwrite_async(os.path.join(main_output_path, "images", name), bgr)
             imwrite_async(os.path.join(main_output_path, "masks", name),
-                        masks[i, ..., 0])
+                        masks[i])
         cursor += masks.shape[0]
 
 
@@ -114,7 +130,9 @@ def create_pseudo_labels_model_ensemble_hela(
     cursor = 0
     for images, _ in eval_batches(ds, batch_size):
         probs = ens.predict_probs(jnp.asarray(images))
-        masks = np.asarray(_hela_soft(probs, threshold))        # (B,H,W,3)
+        packed = _pack_hela(probs, threshold)
+        masks = np.moveaxis(bitpack.unpackbits2d(
+            np.asarray(packed), ds.images.shape[2]), 1, -1) * np.uint8(255)
         h, w = masks.shape[1:3]
         for i in range(masks.shape[0]):
             name = ds.names[cursor + i]

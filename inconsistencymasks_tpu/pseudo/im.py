@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import eval_batches, load_images
-from ..ops import im_core, morphology
+from ..ops import bitpack, im_core, morphology
 from ..utils.io_pool import AsyncWriter
 from ..postproc.hela import get_min_dist, get_pos_contours
 from .engine import StackedEnsemble
@@ -51,6 +51,26 @@ def _fused_im_binary(probs, images, threshold, erode_kernel, dilate_kernel,
     return image_b, mask_b, im, out.im_size, out.pred_size
 
 
+@partial(jax.jit, static_argnames=("erode_kernel", "dilate_kernel"))
+def _fused_im_binary_packed(probs, threshold, erode_kernel, dilate_kernel):
+    """Transfer-minimal variant: only BIT-PACKED pred/IM planes and the
+    size scalars cross the device->host link (~1 MB/s on this relay);
+    the blocked image/mask PNGs are composed on the host from the
+    original images it already holds — ``image[im > 0] = 0`` is a pure
+    mask-out (reference functions.py:2867-2874), so the result is
+    byte-identical to the on-device blockout."""
+    masks = im_core.probs_to_binary_masks(probs, threshold)
+    out = im_core.binary_im(masks)
+    im = out.im
+    if erode_kernel > 0:
+        im = morphology.erode(im, erode_kernel)
+    if dilate_kernel > 0:
+        im = morphology.dilate(im, dilate_kernel)
+    pred_bits = bitpack.packbits2d(out.pred_mask[..., 0])
+    hole_bits = bitpack.packbits2d(im)
+    return pred_bits, hole_bits, out.im_size, out.pred_size
+
+
 @flushes_writes
 def create_pseudo_labels_im_binary(
         module, models: Sequence, images_dir: str, main_output_path: str, *,
@@ -72,6 +92,7 @@ def create_pseudo_labels_im_binary(
 
     im_sizes = {}
     cursor = 0
+    width = ds.images.shape[2]
     with AsyncWriter() as w:
         for images, _ in eval_batches(ds, batch_size):
             images_j = jnp.asarray(images)
@@ -79,23 +100,28 @@ def create_pseudo_labels_im_binary(
             if use_pallas:
                 from ..ops.pallas.im_postproc import (
                     fused_im_postprocess_binary)
-                img_b, mask2d, im, im_size, pred_size = \
+                _imgb, mask2d, im2d, im_size, pred_size = \
                     fused_im_postprocess_binary(
                         probs, images_j, threshold,
                         erode_kernel=erode_kernel,
                         dilate_kernel=dilate_kernel,
                         block_input=block_input, block_output=block_output)
-                mask_b = mask2d[..., None]
+                # the kernel's mask is already blocked; pack both planes
+                # for the slow link and compose PNGs on host
+                pred_bits = bitpack.packbits2d_jit(mask2d)
+                hole_bits = bitpack.packbits2d_jit(im2d)
+                mask_blocked = True
             else:
-                img_b, mask_b, im, im_size, pred_size = _fused_im_binary(
-                    probs, images_j, threshold, erode_kernel,
-                    dilate_kernel, block_input, block_output)
-            img_b = np.asarray(img_b)
-            mask_b = np.asarray(mask_b)
-            im = np.asarray(im)
+                pred_bits, hole_bits, im_size, pred_size = \
+                    _fused_im_binary_packed(probs, threshold, erode_kernel,
+                                            dilate_kernel)
+                mask_blocked = False
+            pred = bitpack.unpackbits2d(np.asarray(pred_bits), width)
+            hole = bitpack.unpackbits2d(np.asarray(hole_bits), width)
             im_size = np.asarray(im_size)
             pred_size = np.asarray(pred_size)
-            for i in range(img_b.shape[0]):
+            keep = (1 - hole).astype(np.uint8)            # (B, H, W) {0,1}
+            for i in range(pred.shape[0]):
                 name = ds.names[cursor + i]
                 im_sizes[name[:-4]] = int(im_size[i])
                 # reference filter (functions.py:2878-2882):
@@ -104,24 +130,28 @@ def create_pseudo_labels_im_binary(
                 write = (pred_size[i] > im_size[i] and pred_size[i] > 0
                          if filter_bad_predictions else True)
                 if write:
-                    bgr = (cv2.cvtColor(img_b[i], cv2.COLOR_RGB2BGR)
-                           if channels == 3 else img_b[i])
+                    img = (images[i] * keep[i][..., None]
+                           if block_input else images[i])
+                    bgr = (cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+                           if channels == 3 else img)
+                    mask = pred[i]
+                    if block_output and not mask_blocked:
+                        mask = mask * keep[i]
                     w.imwrite(os.path.join(main_output_path, "images",
                                            name), bgr)
                     w.imwrite(os.path.join(main_output_path, "masks",
-                                           name), mask_b[i, ..., 0])
+                                           name), mask * np.uint8(255))
                 w.imwrite(os.path.join(main_output_path, "im", name),
-                          im[i])
-            cursor += img_b.shape[0]
+                          hole[i] * np.uint8(255))
+            cursor += pred.shape[0]
 
     return round(sum(im_sizes.values()) / len(im_sizes), 0)
 
 
 @partial(jax.jit, static_argnames=("erode_kernel", "dilate_kernel",
-                                   "num_classes", "block_input",
-                                   "block_output"))
-def _fused_im_multiclass(probs, images, erode_kernel, dilate_kernel,
-                         num_classes, block_input, block_output):
+                                   "num_classes", "block_output"))
+def _fused_im_multiclass(probs, erode_kernel, dilate_kernel,
+                         num_classes, block_output):
     class_maps = im_core.probs_to_class_maps(probs)
     out = im_core.multiclass_im(class_maps)
     im = out.im
@@ -135,14 +165,15 @@ def _fused_im_multiclass(probs, images, erode_kernel, dilate_kernel,
     if dilate_kernel > 0:
         im = morphology.dilate(im, dilate_kernel)
     hole = im > 0
-    if block_input:
-        images = jnp.where(hole[..., None], jnp.uint8(0), images)
     if block_output:
         pred = jnp.where(hole, jnp.uint8(0), pred)
     # per-model per-image class presence, for filter_unequal_class_pred
     present = jax.vmap(lambda cm: jax.nn.one_hot(
         cm, num_classes, dtype=jnp.int32).sum(axis=(1, 2)) > 0)(class_maps)
-    return images, pred, im, out.im_size, present
+    # only the class map + a bit-packed hole plane cross the slow
+    # device->host link; the blocked image is composed on host from the
+    # original (image[im>0]=0 is a pure mask-out, functions.py:3053-3060)
+    return pred, bitpack.packbits2d(hole), out.im_size, present
 
 
 @flushes_writes
@@ -162,15 +193,18 @@ def create_pseudo_labels_im_multiclass(
 
     im_sizes = {}
     cursor = 0
+    width = ds.images.shape[2]
     for images, _ in eval_batches(ds, batch_size):
         images_j = jnp.asarray(images)
         probs = ens.predict_probs(images_j)
-        img_b, pred, im, im_size, present = _fused_im_multiclass(
-            probs, images_j, erode_kernel, dilate_kernel, num_classes,
-            block_input, block_output)
-        img_b, pred, im = map(np.asarray, (img_b, pred, im))
+        pred, hole_bits, im_size, present = _fused_im_multiclass(
+            probs, erode_kernel, dilate_kernel, num_classes,
+            block_output)
+        pred = np.asarray(pred)
+        hole = bitpack.unpackbits2d(np.asarray(hole_bits), width)
         im_size, present = np.asarray(im_size), np.asarray(present)
-        for i in range(img_b.shape[0]):
+        keep = (1 - hole).astype(np.uint8)
+        for i in range(pred.shape[0]):
             name = ds.names[cursor + i]
             im_sizes[name[:-4]] = int(im_size[i])
             if filter_unequal_class_pred:
@@ -179,14 +213,17 @@ def create_pseudo_labels_im_multiclass(
             else:
                 write = True
             if write:
-                bgr = (cv2.cvtColor(img_b[i], cv2.COLOR_RGB2BGR)
-                       if channels == 3 else img_b[i])
+                img = (images[i] * keep[i][..., None]
+                       if block_input else images[i])
+                bgr = (cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+                       if channels == 3 else img)
                 imwrite_async(os.path.join(main_output_path, "images", name),
                             bgr)
                 imwrite_async(os.path.join(main_output_path, "masks", name),
                             pred[i])
-            imwrite_async(os.path.join(main_output_path, "im", name), im[i])
-        cursor += img_b.shape[0]
+            imwrite_async(os.path.join(main_output_path, "im", name),
+                          hole[i] * np.uint8(255))
+        cursor += pred.shape[0]
 
     return round(sum(im_sizes.values()) / len(im_sizes), 0)
 
@@ -207,7 +244,8 @@ def _fused_im_hela(probs, images, threshold, erode_kernel, dilate_kernel):
         dead = morphology.dilate(dead, 3)
     if dilate_kernel > 0:
         im = morphology.dilate(im, dilate_kernel)
-    return alive, dead, pos_raw, im, out.im_size
+    planes = jnp.stack([alive, dead, pos_raw, im], axis=1)  # (B,4,H,W)
+    return bitpack.packbits2d(planes), out.im_size
 
 
 @flushes_writes
@@ -231,9 +269,12 @@ def create_pseudo_labels_im_hela(
     for images, _ in eval_batches(ds, batch_size):
         images_j = jnp.asarray(images)
         probs = ens.predict_probs(images_j)
-        alive, dead, pos_raw, im, im_size = _fused_im_hela(
+        plane_bits, im_size = _fused_im_hela(
             probs, images_j, threshold, erode_kernel, dilate_kernel)
-        alive, dead, pos_raw, im = map(np.asarray, (alive, dead, pos_raw, im))
+        planes = bitpack.unpackbits2d(np.asarray(plane_bits),
+                                      ds.images.shape[2]) * np.uint8(255)
+        alive, dead, pos_raw, im = (planes[:, 0], planes[:, 1],
+                                    planes[:, 2], planes[:, 3])
         im_size = np.asarray(im_size)
         h, w = alive.shape[1:3]
         for i in range(alive.shape[0]):

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import eval_batches, load_images
-from ..ops import augment, d4
+from ..ops import augment, bitpack, d4
 from ..postproc.hela import get_min_dist, get_pos_contours
 from ..utils.io_pool import flushes_writes, imwrite_async
 
@@ -79,6 +79,20 @@ def _tta_invert_vote_binary(masks_u8, view_idx, threshold_count):
     return ((votes >= threshold_count) * 255).astype(jnp.uint8)
 
 
+_pack_vote = jax.jit(bitpack.packbits2d)
+
+
+@partial(jax.jit, static_argnames=("soft", "n_views"))
+def _hela_vote_pack(probs, threshold, soft, n_views):
+    """(n,B,H,W,3) view probs -> bit-packed (B,3,H,W//8) voted masks."""
+    if soft:
+        m = (jnp.mean(probs, axis=0) > threshold)
+    else:
+        votes = (probs > threshold).astype(jnp.int32).sum(axis=0)
+        m = votes >= n_views
+    return bitpack.packbits2d(jnp.moveaxis(m, -1, 1))
+
+
 @flushes_writes
 def create_pseudo_labels_input_ensemble_binary(
         module, variables, images_dir: str, main_output_path: str, *,
@@ -118,8 +132,11 @@ def create_pseudo_labels_input_ensemble_binary(
         probs = forward(variables, flat)                    # (n*B,H,W,1)
         masks = (probs[..., 0] >= threshold).astype(jnp.uint8)
         masks = masks.reshape(n_views, b, *masks.shape[1:])
-        vote = np.asarray(_tta_invert_vote_binary(
-            masks, jnp.asarray(view_idx), n_views))
+        # bit-packed across the slow device->host link (8 px/byte)
+        vote = bitpack.unpackbits2d(np.asarray(_pack_vote(
+            _tta_invert_vote_binary(masks, jnp.asarray(view_idx),
+                                    n_views))),
+            images.shape[2]) * np.uint8(255)
         for i in range(b):
             name = ds.names[cursor + i]
             eroded = cv2.erode(vote[i], np.ones((5, 5), "uint8"),
@@ -212,12 +229,10 @@ def create_pseudo_labels_input_ensemble_hela(
             tuple(brightness_range_alpha), tuple(brightness_range_beta))
         flat = views.reshape(n_views * b, *views.shape[2:])
         probs = forward(variables, flat).reshape(n_views, b, *images.shape[1:3], 3)
-        if use_soft_voting:
-            masks = np.asarray(((jnp.mean(probs, axis=0) > threshold) * 255
-                                ).astype(jnp.uint8))
-        else:
-            votes = (probs > threshold).astype(jnp.int32).sum(axis=0)
-            masks = np.asarray(((votes >= n_views) * 255).astype(jnp.uint8))
+        packed = _hela_vote_pack(probs, threshold, use_soft_voting,
+                                 n_views)
+        masks = np.moveaxis(bitpack.unpackbits2d(
+            np.asarray(packed), images.shape[2]), 1, -1) * np.uint8(255)
         h, w = masks.shape[1:3]
         for i in range(b):
             name = ds.names[cursor + i]
