@@ -157,18 +157,36 @@ def stream_batches(ds: Dataset, batch_size: int, seed: int,
         stop.set()
 
 
-def eval_batches(ds: Dataset, batch_size: int) -> Iterator[tuple]:
+def eval_batches(ds: Dataset, batch_size: int,
+                 pad_final: bool = False) -> Iterator[tuple]:
     """One ordered pass, final partial batch included (Keras validation
-    semantics)."""
+    semantics).
+
+    ``pad_final=True`` repeats the last row so every batch has the SAME
+    shape — on this backend each distinct batch shape costs a separate
+    multi-minute remote XLA compile, so fixed shapes matter.  Callers
+    compute the valid count as ``min(batch_size, len(ds) - cursor)`` and
+    ignore the padded tail (all per-image outputs are independent)."""
     n = len(ds)
+
+    def _pad(a):
+        if a is None or a.shape[0] == batch_size:
+            return a
+        reps = batch_size - a.shape[0]
+        return np.concatenate([a, np.repeat(a[-1:], reps, axis=0)])
+
     for start in range(0, n, batch_size):
         idx = slice(start, min(start + batch_size, n))
-        yield (ds.images[idx],
-               None if ds.targets is None else ds.targets[idx])
+        images = ds.images[idx]
+        targets = None if ds.targets is None else ds.targets[idx]
+        if pad_final:
+            images, targets = _pad(images), _pad(targets)
+        yield images, targets
 
 
 def device_eval_batches(ds: Dataset, batch_size: int,
-                        device_targets: bool = True) -> Iterator[tuple]:
+                        device_targets: bool = True,
+                        pad_final: bool = False) -> Iterator[tuple]:
     """``eval_batches`` with the split cached in HBM.
 
     The benchmark harness re-walks the same val/test/unlabeled split for
@@ -191,9 +209,23 @@ def device_eval_batches(ds: Dataset, batch_size: int,
             ds._device_targets_cache = tgt
     n = len(ds)
     for start in range(0, n, batch_size):
+        skip = 0
+        if (pad_final and start + batch_size > n and n >= batch_size):
+            # OVERLAP the tail into the previous batch instead of padding:
+            # dev[n-bs:n] reuses the full-batch compiled program (each
+            # distinct batch shape costs a separate multi-minute remote
+            # compile on this backend) with zero extra device ops; the
+            # first ``skip`` rows repeat already-processed images and the
+            # caller drops them.
+            skip = start - (n - batch_size)
+            start = n - batch_size
         idx = slice(start, min(start + batch_size, n))
+        images = dev[idx]
         if device_targets:
-            yield dev[idx], None if tgt is None else tgt[idx]
+            targets = None if tgt is None else tgt[idx]
         else:
-            yield (dev[idx],
-                   None if ds.targets is None else ds.targets[idx])
+            targets = None if ds.targets is None else ds.targets[idx]
+        if pad_final:
+            yield images, targets, skip
+        else:
+            yield images, targets

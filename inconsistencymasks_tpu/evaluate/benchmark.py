@@ -94,17 +94,19 @@ def benchmark_binary(module, variables, images_ds: Dataset, *,
     ious, dices = [], []
     cursor = 0
     w = images_ds.images.shape[2]
-    for images, gts in device_eval_batches(images_ds, batch_size):
+    for images, gts, skip in device_eval_batches(images_ds, batch_size,
+                                                 pad_final=True):
         probs = forward(variables, images)
         packed, iou, dice = postproc(probs, gts)
-        ious.extend(round(float(v), 4) for v in np.asarray(iou))
-        dices.extend(round(float(v), 4) for v in np.asarray(dice))
+        ious.extend(round(float(v), 4) for v in np.asarray(iou)[skip:])
+        dices.extend(round(float(v), 4) for v in np.asarray(dice)[skip:])
         if create_images and pred_dir:
-            preds = bitpack.unpackbits2d(np.asarray(packed), w) * np.uint8(255)
+            preds = bitpack.unpackbits2d(np.asarray(packed)[skip:],
+                                         w) * np.uint8(255)
             for i in range(preds.shape[0]):
                 imwrite_async(os.path.join(
                     pred_dir, images_ds.names[cursor + i]), preds[i])
-        cursor += packed.shape[0]
+        cursor += packed.shape[0] - skip
 
     miou = round(float(np.sum(ious) / len(ious)), 3)
     mdice = round(float(np.sum(dices) / len(dices)), 3)
@@ -127,12 +129,13 @@ def benchmark_multiclass(module, variables, images_ds: Dataset, *,
 
     pas, ious = [], []
     cursor = 0
-    for images, gts in device_eval_batches(images_ds, batch_size):
+    for images, gts, skip in device_eval_batches(images_ds, batch_size,
+                                                 pad_final=True):
         probs = forward(variables, images)
         preds, pa, iou = postproc(probs, gts)
-        preds = np.asarray(preds)
-        pas.extend(round(float(v), 4) for v in np.asarray(pa))
-        ious.extend(round(float(v), 4) for v in np.asarray(iou))
+        preds = np.asarray(preds)[skip:]
+        pas.extend(round(float(v), 4) for v in np.asarray(pa)[skip:])
+        ious.extend(round(float(v), 4) for v in np.asarray(iou)[skip:])
         if create_images and pred_dir:
             for i in range(preds.shape[0]):
                 name = images_ds.names[cursor + i]
@@ -171,12 +174,13 @@ def benchmark_hela(module, variables, ds: Dataset, *,
     cell_count_delta = 0
     cursor = 0
     w = ds.images.shape[2]
-    for images, gts in device_eval_batches(ds, batch_size,
-                                           device_targets=False):
+    for images, gts, skip in device_eval_batches(ds, batch_size,
+                                                 device_targets=False,
+                                                 pad_final=True):
         probs = forward(variables, images)
-        packed = np.asarray(_threshold_pack(probs, threshold))
+        packed = np.asarray(_threshold_pack(probs, threshold))[skip:]
         preds = bitpack.unpackbits2d(packed, w) * np.uint8(255)
-        gts = np.asarray(gts)
+        gts = np.asarray(gts)[skip:]
         for i in range(preds.shape[0]):
             alive_u, dead_u, pos_u = (preds[i, 0], preds[i, 1],
                                       preds[i, 2])

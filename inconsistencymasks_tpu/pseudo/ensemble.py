@@ -77,20 +77,22 @@ def create_pseudo_labels_model_ensemble_binary(
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
     cursor = 0
     width = ds.images.shape[2]
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, n_total - cursor)
         probs = ens.predict_probs(jnp.asarray(images))
         # bit-packed across the slow device->host link (8 px/byte)
         packed = _pack_binary(probs, threshold)
         masks = bitpack.unpackbits2d(np.asarray(packed),
                                      width) * np.uint8(255)
-        for i in range(masks.shape[0]):
+        for i in range(valid):
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(images[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else images[i])
             imwrite_async(os.path.join(main_output_path, "images", name), bgr)
             imwrite_async(os.path.join(main_output_path, "masks", name),
                         masks[i])
-        cursor += masks.shape[0]
+        cursor += valid
 
 
 @flushes_writes
@@ -104,17 +106,19 @@ def create_pseudo_labels_model_ensemble_multiclass(
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
     vote = _multiclass_soft if soft else _multiclass_hard
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, n_total - cursor)
         probs = ens.predict_probs(jnp.asarray(images))
         masks = np.asarray(vote(probs))
-        for i in range(masks.shape[0]):
+        for i in range(valid):
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(images[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else images[i])
             imwrite_async(os.path.join(main_output_path, "images", name), bgr)
             imwrite_async(os.path.join(main_output_path, "masks", name),
                         masks[i])
-        cursor += masks.shape[0]
+        cursor += valid
 
 
 @flushes_writes
@@ -128,13 +132,15 @@ def create_pseudo_labels_model_ensemble_hela(
     for sub in ("brightfield", "alive", "dead", "mod_position"):
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, n_total - cursor)
         probs = ens.predict_probs(jnp.asarray(images))
         packed = _pack_hela(probs, threshold)
         masks = np.moveaxis(bitpack.unpackbits2d(
             np.asarray(packed), ds.images.shape[2]), 1, -1) * np.uint8(255)
         h, w = masks.shape[1:3]
-        for i in range(masks.shape[0]):
+        for i in range(valid):
             name = ds.names[cursor + i]
             positions = get_pos_contours(masks[i, :, :, 2])
             pos_mask = np.zeros((h, w, 3), np.uint8)
@@ -152,4 +158,4 @@ def create_pseudo_labels_model_ensemble_hela(
                         masks[i, :, :, 1])
             imwrite_async(os.path.join(main_output_path, "mod_position", name),
                         pos_mask)
-        cursor += masks.shape[0]
+        cursor += valid

@@ -93,8 +93,10 @@ def create_pseudo_labels_im_binary(
     im_sizes = {}
     cursor = 0
     width = ds.images.shape[2]
+    n_total = len(ds)
     with AsyncWriter() as w:
-        for images, _ in eval_batches(ds, batch_size):
+        for images, _ in eval_batches(ds, batch_size, pad_final=True):
+            valid = min(batch_size, n_total - cursor)
             images_j = jnp.asarray(images)
             probs = ens.predict_probs(images_j)
             if use_pallas:
@@ -121,7 +123,7 @@ def create_pseudo_labels_im_binary(
             im_size = np.asarray(im_size)
             pred_size = np.asarray(pred_size)
             keep = (1 - hole).astype(np.uint8)            # (B, H, W) {0,1}
-            for i in range(pred.shape[0]):
+            for i in range(valid):
                 name = ds.names[cursor + i]
                 im_sizes[name[:-4]] = int(im_size[i])
                 # reference filter (functions.py:2878-2882):
@@ -143,7 +145,7 @@ def create_pseudo_labels_im_binary(
                                            name), mask * np.uint8(255))
                 w.imwrite(os.path.join(main_output_path, "im", name),
                           hole[i] * np.uint8(255))
-            cursor += pred.shape[0]
+            cursor += valid
 
     return round(sum(im_sizes.values()) / len(im_sizes), 0)
 
@@ -194,7 +196,9 @@ def create_pseudo_labels_im_multiclass(
     im_sizes = {}
     cursor = 0
     width = ds.images.shape[2]
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, n_total - cursor)
         images_j = jnp.asarray(images)
         probs = ens.predict_probs(images_j)
         pred, hole_bits, im_size, present = _fused_im_multiclass(
@@ -204,7 +208,7 @@ def create_pseudo_labels_im_multiclass(
         hole = bitpack.unpackbits2d(np.asarray(hole_bits), width)
         im_size, present = np.asarray(im_size), np.asarray(present)
         keep = (1 - hole).astype(np.uint8)
-        for i in range(pred.shape[0]):
+        for i in range(valid):
             name = ds.names[cursor + i]
             im_sizes[name[:-4]] = int(im_size[i])
             if filter_unequal_class_pred:
@@ -223,7 +227,7 @@ def create_pseudo_labels_im_multiclass(
                             pred[i])
             imwrite_async(os.path.join(main_output_path, "im", name),
                           hole[i] * np.uint8(255))
-        cursor += pred.shape[0]
+        cursor += valid
 
     return round(sum(im_sizes.values()) / len(im_sizes), 0)
 
@@ -266,7 +270,9 @@ def create_pseudo_labels_im_hela(
 
     im_sizes = {}
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, n_total - cursor)
         images_j = jnp.asarray(images)
         probs = ens.predict_probs(images_j)
         plane_bits, im_size = _fused_im_hela(
@@ -277,7 +283,7 @@ def create_pseudo_labels_im_hela(
                                     planes[:, 2], planes[:, 3])
         im_size = np.asarray(im_size)
         h, w = alive.shape[1:3]
-        for i in range(alive.shape[0]):
+        for i in range(valid):
             name = ds.names[cursor + i]
             im_sizes[name[:-4]] = int(im_size[i])
             # position circles, radius min_dist//4 clamped (host, eval-size)
@@ -306,6 +312,6 @@ def create_pseudo_labels_im_hela(
             imwrite_async(os.path.join(main_output_path, "mod_position", name),
                         pos_mask)
             imwrite_async(os.path.join(main_output_path, "im", name), im[i])
-        cursor += alive.shape[0]
+        cursor += valid
 
     return round(sum(im_sizes.values()) / len(im_sizes), 0)

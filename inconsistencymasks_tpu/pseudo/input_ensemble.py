@@ -109,8 +109,10 @@ def create_pseudo_labels_input_ensemble_binary(
     host_rng = np.random.RandomState(seed)
     key = jax.random.PRNGKey(seed)
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
         b = images.shape[0]
+        valid = min(batch_size, n_total - cursor)
         if use_n_rnd_transformations:
             # reference samples from the 12 non-identity transforms
             # (generate_random_transformations enumerates rot in 1..3 only,
@@ -137,7 +139,7 @@ def create_pseudo_labels_input_ensemble_binary(
             _tta_invert_vote_binary(masks, jnp.asarray(view_idx),
                                     n_views))),
             images.shape[2]) * np.uint8(255)
-        for i in range(b):
+        for i in range(valid):
             name = ds.names[cursor + i]
             eroded = cv2.erode(vote[i], np.ones((5, 5), "uint8"),
                                iterations=1)
@@ -148,7 +150,7 @@ def create_pseudo_labels_input_ensemble_binary(
                             bgr)
                 imwrite_async(os.path.join(main_output_path, "masks", name),
                             vote[i])
-        cursor += b
+        cursor += valid
 
 
 @partial(jax.jit, static_argnames=("n_views", "max_blur", "max_noise",
@@ -184,8 +186,10 @@ def create_pseudo_labels_input_ensemble_multiclass(
     key = jax.random.PRNGKey(seed)
     n_views = n + 1
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
         b = images.shape[0]
+        valid = min(batch_size, n_total - cursor)
         key, sub_key = jax.random.split(key)
         views = _cumulative_photometric_views(
             jnp.asarray(images), sub_key, n_views, max_blur, max_noise,
@@ -195,14 +199,14 @@ def create_pseudo_labels_input_ensemble_multiclass(
         probs = probs.reshape(n_views, b, *probs.shape[1:])
         pred = np.asarray(jnp.argmax(jnp.mean(probs, axis=0),
                                      axis=-1).astype(jnp.uint8))
-        for i in range(b):
+        for i in range(valid):
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(images[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else images[i])
             imwrite_async(os.path.join(main_output_path, "images", name), bgr)
             imwrite_async(os.path.join(main_output_path, "masks", name),
                         pred[i])
-        cursor += b
+        cursor += valid
 
 
 @flushes_writes
@@ -221,8 +225,10 @@ def create_pseudo_labels_input_ensemble_hela(
     key = jax.random.PRNGKey(seed)
     n_views = n + 1
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
         b = images.shape[0]
+        valid = min(batch_size, n_total - cursor)
         key, sub_key = jax.random.split(key)
         views = _cumulative_photometric_views(
             jnp.asarray(images), sub_key, n_views, max_blur, max_noise,
@@ -234,7 +240,7 @@ def create_pseudo_labels_input_ensemble_hela(
         masks = np.moveaxis(bitpack.unpackbits2d(
             np.asarray(packed), images.shape[2]), 1, -1) * np.uint8(255)
         h, w = masks.shape[1:3]
-        for i in range(b):
+        for i in range(valid):
             name = ds.names[cursor + i]
             positions = get_pos_contours(masks[i, :, :, 2])
             pos_mask = np.zeros((h, w, 3), np.uint8)
@@ -252,4 +258,4 @@ def create_pseudo_labels_input_ensemble_hela(
                         masks[i, :, :, 1])
             imwrite_async(os.path.join(main_output_path, "mod_position", name),
                         pos_mask)
-        cursor += b
+        cursor += valid

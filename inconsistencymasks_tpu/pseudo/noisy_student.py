@@ -66,18 +66,20 @@ def create_pseudo_labels_noisy_student_binary(
         return aug_img, aug_masks[0]
 
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, n_total - cursor)
         key, sub_key = jax.random.split(key)
         aug_img, aug_mask = fused(variables, jnp.asarray(images), sub_key)
         aug_img, aug_mask = np.asarray(aug_img), np.asarray(aug_mask)
-        for i in range(aug_img.shape[0]):
+        for i in range(valid):
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(aug_img[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else aug_img[i])
             imwrite_async(os.path.join(main_output_path, "images", name), bgr)
             imwrite_async(os.path.join(main_output_path, "masks", name),
                         aug_mask[i])
-        cursor += aug_img.shape[0]
+        cursor += valid
 
 
 @flushes_writes
@@ -103,18 +105,20 @@ def create_pseudo_labels_noisy_student_multiclass(
         return aug_img, aug_masks[0]
 
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, n_total - cursor)
         key, sub_key = jax.random.split(key)
         aug_img, aug_mask = fused(variables, jnp.asarray(images), sub_key)
         aug_img, aug_mask = np.asarray(aug_img), np.asarray(aug_mask)
-        for i in range(aug_img.shape[0]):
+        for i in range(valid):
             name = ds.names[cursor + i]
             bgr = (cv2.cvtColor(aug_img[i], cv2.COLOR_RGB2BGR)
                    if channels == 3 else aug_img[i])
             imwrite_async(os.path.join(main_output_path, "images", name), bgr)
             imwrite_async(os.path.join(main_output_path, "masks", name),
                         aug_mask[i])
-        cursor += aug_img.shape[0]
+        cursor += valid
 
 
 @flushes_writes
@@ -146,12 +150,14 @@ def create_pseudo_labels_noisy_student_hela(
         return aug_img, m
 
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    n_total = len(ds)
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, n_total - cursor)
         key, sub_key = jax.random.split(key)
         aug_img, masks = fused(variables, jnp.asarray(images), sub_key)
         aug_img, masks = np.asarray(aug_img), np.asarray(masks)
         h, w = masks.shape[1:3]
-        for i in range(aug_img.shape[0]):
+        for i in range(valid):
             stem = ds.names[cursor + i][:-4]
             positions = get_pos_contours(masks[i, :, :, 2])
             pos_mask = np.zeros((h, w, 3), np.uint8)
@@ -169,4 +175,4 @@ def create_pseudo_labels_noisy_student_hela(
                                      f"{stem}_aug.png"), masks[i, :, :, 1])
             imwrite_async(os.path.join(main_output_path, "mod_position",
                                      f"{stem}_aug.png"), pos_mask)
-        cursor += aug_img.shape[0]
+        cursor += valid
