@@ -57,12 +57,25 @@ def main() -> None:
     images = jnp.asarray(images_np)
 
     # ---------------------------------------------------------------- fused
+    # the production K-model forward (pseudo/engine.py) is channel-PACKED
+    # (models/packed_unet.py) — K members per MXU pass; set
+    # IM_BENCH_UNROLLED=1 to measure the per-model unrolled variant
+    import os
+
+    from inconsistencymasks_tpu.models.packed_unet import packed_unet_apply
     from inconsistencymasks_tpu.ops.unroll import unrolled_map
+
+    unrolled = os.environ.get("IM_BENCH_UNROLLED") == "1"
 
     @jax.jit
     def fused(stacked, images):
-        probs = unrolled_map(
-            lambda v: module.apply(v, images, train=False), stacked)
+        if unrolled:
+            probs = unrolled_map(
+                lambda v: module.apply(v, images, train=False), stacked)
+        else:
+            probs = packed_unet_apply(
+                stacked, images, train=False, num_classes=1,
+                activation="relu", out_activation="sigmoid")
         masks = im_core.probs_to_binary_masks(probs, 0.5)
         out = im_core.binary_im(masks)
         im = morphology.dilate(out.im, 3)
