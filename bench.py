@@ -57,25 +57,26 @@ def main() -> None:
     images = jnp.asarray(images_np)
 
     # ---------------------------------------------------------------- fused
-    # the production K-model forward (pseudo/engine.py) is channel-PACKED
-    # (models/packed_unet.py) — K members per MXU pass; set
-    # IM_BENCH_UNROLLED=1 to measure the per-model unrolled variant
+    # the production K-model forward (pseudo/engine.py) is UNROLLED —
+    # measured faster than channel-packed at K=2 (7.4 vs 9.98 ms/batch;
+    # packing fills too few lanes at small K).  IM_BENCH_PACKED=1 measures
+    # the packed variant.
     import os
 
     from inconsistencymasks_tpu.models.packed_unet import packed_unet_apply
     from inconsistencymasks_tpu.ops.unroll import unrolled_map
 
-    unrolled = os.environ.get("IM_BENCH_UNROLLED") == "1"
+    packed = os.environ.get("IM_BENCH_PACKED") == "1"
 
     @jax.jit
     def fused(stacked, images):
-        if unrolled:
-            probs = unrolled_map(
-                lambda v: module.apply(v, images, train=False), stacked)
-        else:
+        if packed:
             probs = packed_unet_apply(
                 stacked, images, train=False, num_classes=1,
                 activation="relu", out_activation="sigmoid")
+        else:
+            probs = unrolled_map(
+                lambda v: module.apply(v, images, train=False), stacked)
         masks = im_core.probs_to_binary_masks(probs, 0.5)
         out = im_core.binary_im(masks)
         im = morphology.dilate(out.im, 3)
@@ -161,7 +162,12 @@ def main() -> None:
     targets = jnp.asarray((rng.rand(32, H, W, 1) > 0.5).astype(np.float32))
     imgs32 = jnp.asarray(images_np[:32])
 
-    def step_time(pop, forward):
+    def step_time(pop, forward, sync_every_step=False):
+        """``sync_every_step``: the reference's Keras ``model.fit`` fetches
+        the loss scalar to host EVERY batch (progress-bar/metric update) —
+        our trainer accumulates on device and fetches once per epoch, so
+        the baseline is measured with the per-step round trip it actually
+        pays and the fused path without."""
         tr = PopulationTrainer(
             module, init_population(module, H, W, 3, pop, base_seed=1),
             loss="mse", monitor=Monitor.isic(), learning_rate=3e-3,
@@ -174,12 +180,15 @@ def main() -> None:
             t0 = time.perf_counter()
             for _ in range(n):
                 tr.state, loss = tr._train_step(tr.state, imgs32, targets)
-            float(jnp.sum(loss))
+                if sync_every_step:
+                    float(jnp.sum(loss))
+            if not sync_every_step:
+                float(jnp.sum(loss))
             times[n] = time.perf_counter() - t0
         return (times[16] - times[4]) / 12
 
     t_packed15 = step_time(15, "packed")
-    t_single = step_time(1, "unrolled")
+    t_single = step_time(1, "unrolled", sync_every_step=True)
     train_mips = 15 * 32 / t_packed15
     base_mips = 32 / t_single
     print(json.dumps({

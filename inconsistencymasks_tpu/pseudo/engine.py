@@ -50,10 +50,13 @@ class StackedEnsemble:
                                           NamedSharding(mesh, P()))
         else:
             self._batch_sharding = None
-        # channel-packed K-model forward (models/packed_unet.py): K members
-        # per MXU pass instead of one, recovering the lanes a tiny
-        # per-model channel count wastes.  Block-diagonal convs are plain
-        # NHWC convs, so the packed program stays GSPMD-data-shardable.
+        # OPT-IN channel-packed K-model forward (models/packed_unet.py).
+        # Measured on v5e-1 at the production shape (K=2, batch 128,
+        # 256^2, alpha 0.5): packed 9.98 ms/batch vs UNROLLED 7.4 ms —
+        # at K=2-4 the block-diagonal packing fills too few lanes to beat
+        # the unrolled form's fusion, so 'auto' stays unrolled for
+        # inference (training is different: pop 15 packs to full lanes,
+        # PopulationTrainer defaults packed).
         from ..models.unet import UNet as _UNet
         packable = (isinstance(module, _UNet)
                     and module.dropout_rate_encoder == 0
@@ -61,7 +64,7 @@ class StackedEnsemble:
                     and module.dropout_rate_bottleneck == 0)
         if forward == "packed" and not packable:
             raise ValueError("forward='packed' requires a dropout-free UNet")
-        self.packed = (forward != "unrolled" and packable and self.size > 1)
+        self.packed = forward == "packed" and packable and self.size > 1
         self._predict = jax.jit(self._predict_impl)
 
     def _predict_impl(self, stacked, images):
