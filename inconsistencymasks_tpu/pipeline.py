@@ -556,13 +556,20 @@ def _im_suffix(ad: DatasetAdapter) -> str:
 
 
 def _generate_im(ad: DatasetAdapter, teachers, approach: str,
-                 modelname: str, out_root: str = ""):
-    """IM pseudo-labels for val/test/unlabeled; returns mean-im sizes."""
+                 modelname: str, out_root: str = "",
+                 teacher_alpha: Optional[float] = None):
+    """IM pseudo-labels for val/test/unlabeled; returns mean-im sizes.
+
+    ``teacher_alpha``: width of the TEACHER checkpoints — the IM+/IM++
+    family grows student alpha per generation (ns_alpha), so generation
+    g>=2 loads gen-(g-1) teachers wider than the config base (the
+    reference has no such parameter because it loads full Keras models
+    with the architecture embedded, 11_*_IM+.py:66-77)."""
     from .pseudo import (create_pseudo_labels_im_binary,
                          create_pseudo_labels_im_hela,
                          create_pseudo_labels_im_multiclass)
     c = ad.cfg
-    module = ad.module()
+    module = ad.module(teacher_alpha)
     sizes = []
     for split in ("val", "test", "unlabeled"):
         out = ad.pred_dir(split, modelname, approach)
@@ -774,9 +781,13 @@ def run_im_plus_stage(ad: DatasetAdapter, approach: str = "IM_plus",
                 teacher_name = _teacher_names(ad, approach, runid, gen, n,
                                               suffix, seed_approach)
                 teachers = ad.load_topk(teacher_name, n)
-                # IM into a temp dir (reference 11:67-70)
+                # IM into a temp dir (reference 11:67-70); gen g>0
+                # teachers are the previous gen's students at
+                # ns_alpha(g-1)
                 _generate_im(ad, teachers, approach, modelname,
-                             out_root="temp")
+                             out_root="temp",
+                             teacher_alpha=(None if gen == 0
+                                            else ns_alpha(ad, gen - 1)))
                 im_main = ad.pred_dir(
                     "unlabeled", os.path.join("temp", modelname), approach)
                 plus_main = ad.pred_dir("unlabeled", modelname, approach)
@@ -1201,7 +1212,10 @@ def run_im_plus_plus_stage(ad: DatasetAdapter,
                                               suffix, seed_approach)
                 teachers = ad.load_topk(teacher_name, n)
                 sizes = _generate_im(ad, teachers, approach, modelname,
-                                     out_root="temp")
+                                     out_root="temp",
+                                     teacher_alpha=(None if gen == 0
+                                                    else ns_alpha(ad,
+                                                                  gen - 1)))
                 im_main = ad.pred_dir("unlabeled",
                                       os.path.join("temp", modelname),
                                       approach)

@@ -124,6 +124,28 @@ def test_merged_steps_per_cell(isic_env):
         assert sum(f"{cell}_topK_" in m for m in models) == 2
 
 
+def test_im_plus_growing_teacher_alpha(isic_env):
+    """IM+ generation g>=2 must load its gen-(g-1) teachers at
+    ns_alpha(g-1) — WIDER than the config base (regression: _generate_im
+    rebuilt the base-width module and died with ScopeParamShapeError at
+    gen 2; the reference cannot hit this because it loads full Keras
+    models, 11_*_IM+.py:66-77)."""
+    build, monkeypatch = isic_env
+    base, cfg = build("implus")
+    from inconsistencymasks_tpu import pipeline
+
+    monkeypatch.setenv("IM_MESH", "none")
+    ad = pipeline.make_adapter("isic", cfg, runids=(1,), gens=(0, 1, 2),
+                               n_values=(2,), population_first=2,
+                               population_gen=2, epochs=1, log=None)
+    pipeline.run_supervised_stage(ad, "subset", ad.train_labeled_dir)
+    pipeline.run_im_plus_stage(ad)
+    models = os.listdir(os.path.join(base, "models"))
+    for gen in (0, 1, 2):
+        cell = f"ISIC_2018_IM_plus_1_n2_gen{gen}_e0_d0_bi_True_bo_True"
+        assert sum(f"{cell}_topK_" in m for m in models) == 2, models
+
+
 def test_merged_im_cells(isic_env):
     """run_im_stage fuses the (runid, n) student cells of a generation
     (fit_multi path) and still produces every per-cell artifact."""
