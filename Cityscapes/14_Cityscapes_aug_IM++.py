@@ -12,7 +12,6 @@ from inconsistencymasks_tpu.pipeline import make_adapter, \
     run_im_plus_plus_stage
 
 if __name__ == "__main__":
-    ad = make_adapter("cityscapes")
-    ad.n_values = (2, 3)
+    ad = make_adapter("cityscapes", default_n_values=(2,))
     run_im_plus_plus_stage(ad, approach="aug_IM_plus_plus", seed_approach="subset_aug", labeled_source=ad.train_labeled_aug_dir, evalnet_tag="evalnet_aug_im")
 

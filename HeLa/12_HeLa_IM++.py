@@ -12,6 +12,6 @@ from inconsistencymasks_tpu.pipeline import make_adapter, \
     run_im_plus_plus_stage
 
 if __name__ == "__main__":
-    ad = make_adapter("hela")
+    ad = make_adapter("hela", default_n_values=(2,))
     run_im_plus_plus_stage(ad)
 

@@ -12,6 +12,6 @@ from inconsistencymasks_tpu.pipeline import make_adapter, \
     run_im_plus_plus_stage
 
 if __name__ == "__main__":
-    ad = make_adapter("suim")
+    ad = make_adapter("suim", default_n_values=(2,))
     run_im_plus_plus_stage(ad, approach="GT_IM_plus_plus", use_gt_oracle=True)
 

@@ -216,7 +216,16 @@ class DatasetAdapter:
 
 
 def make_adapter(key: str, config_path: Optional[str] = None,
+                 default_n_values: Optional[Sequence[int]] = None,
                  **overrides) -> DatasetAdapter:
+    """Build the dataset adapter for a pipeline script.
+
+    ``default_n_values`` is the SCRIPT's reference n grid (the reference's
+    ``for n in range(a, b)`` loop — e.g. n=2 only for the whole IM++/aug_IM++
+    family outside ISIC, see HeLa/12_HeLa_IM++.py:150).  It is applied
+    BEFORE the IM_* environment knobs so smoke-test scale-downs
+    (IM_N_VALUES=...) still override it; explicit ``overrides`` kwargs are
+    applied last and beat both."""
     fw = load_config(config_path)
     if key == "isic":
         cfg = fw.isic_2018
@@ -271,6 +280,9 @@ def make_adapter(key: str, config_path: Optional[str] = None,
             class_to_color=mapping)
     else:
         raise ValueError(key)
+
+    if default_n_values is not None:
+        ad.n_values = tuple(default_n_values)
 
     # environment scale-down knobs (smoke tests / partial reruns); default
     # behaviour (full reference grid) is unchanged when unset

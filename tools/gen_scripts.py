@@ -36,17 +36,37 @@ ADAPTER = {
 }
 
 
-def training_body(key, call):
+def training_body(key, call, n_grid=None):
     import re
     runners = sorted(set(re.findall(r"\brun_\w+", call)))
+    # n_grid: the reference script's `for n in range(a, b)` grid when it
+    # differs from the (2, 3, 4) default — passed as default_n_values so
+    # the IM_N_VALUES smoke-test knob still overrides it.
+    mk = (f'make_adapter("{key}")' if n_grid is None
+          else f'make_adapter("{key}", default_n_values={n_grid!r})')
     return f'''
 from inconsistencymasks_tpu.pipeline import make_adapter, \\
     {", ".join(runners)}
 
 if __name__ == "__main__":
-    ad = make_adapter("{key}")
+    ad = {mk}
     {call}
 '''
+
+
+# Reference n grids per (dataset, stage) where they differ from the
+# (2, 3, 4) default — each is `for n in range(2, 3)` i.e. n=2 ONLY in the
+# reference script (citations: HeLa/11:58, Cityscapes/11:59, HeLa/12:150,
+# SUIM/13:155, Cityscapes/12:155, HeLa/13:58, ISIC_2018/14:151,
+# HeLa/14:150, Cityscapes/14:155, SUIM/15:155, SUIM/16:65).
+N2 = (2,)
+N_GRIDS = {
+    ("HeLa", "imp"): N2, ("Cityscapes", "imp"): N2,
+    ("HeLa", "impp"): N2, ("SUIM", "impp"): N2, ("Cityscapes", "impp"): N2,
+    ("HeLa", "aimp"): N2,
+    ("ISIC_2018", "aimpp"): N2, ("HeLa", "aimpp"): N2,
+    ("Cityscapes", "aimpp"): N2, ("SUIM", "aimpp"): N2,
+}
 
 
 # stage -> (script number per dataset, call)
@@ -81,28 +101,31 @@ def emit_dataset(prefix, key, numbers):
       training_body(key, "run_im_stage(ad)"))
     w(f"{prefix}/{n['imp']}_{prefix}_IM+.py",
       "IM+ = IM + noisy-student-style augmentation of blocked pairs.",
-      training_body(key, "run_im_plus_stage(ad)"))
+      training_body(key, "run_im_plus_stage(ad)",
+                    n_grid=N_GRIDS.get((prefix, "imp"))))
     w(f"{prefix}/{n['impp']}_{prefix}_IM++.py",
       "IM++ = IM+ + on-the-fly EvalNet-IM ensemble + adaptive 1-5x "
       "augmentation.",
-      training_body(key, "run_im_plus_plus_stage(ad)"))
+      training_body(key, "run_im_plus_plus_stage(ad)",
+                    n_grid=N_GRIDS.get((prefix, "impp"))))
     w(f"{prefix}/{n['aimp']}_{prefix}_aug_IM+.py",
       "AIM+ = IM+ seeded from ALDT models and the augmented labeled set.",
       training_body(
           key, 'run_im_plus_stage(ad, approach="aug_IM_plus", '
                'seed_approach="subset_aug", '
                'labeled_source=ad.train_labeled_aug_dir, '
-               'keep_unaugmented=True)'))
+               'keep_unaugmented=True)',
+          n_grid=N_GRIDS.get((prefix, "aimp"))))
     aimpp_name = (f"{prefix}/15_SUIM_aug_IBAs++.py" if prefix == "SUIM"
                   else f"{prefix}/{n['aimpp']}_{prefix}_aug_IM++.py")
     w(aimpp_name,
       "AIM++ = IM++ seeded from ALDT models and the augmented labeled set.",
       training_body(
-          key, 'ad.n_values = (2, 3)\n'
-               '    run_im_plus_plus_stage(ad, approach="aug_IM_plus_plus", '
+          key, 'run_im_plus_plus_stage(ad, approach="aug_IM_plus_plus", '
                'seed_approach="subset_aug", '
                'labeled_source=ad.train_labeled_aug_dir, '
-               'evalnet_tag="evalnet_aug_im")'))
+               'evalnet_tag="evalnet_aug_im")',
+          n_grid=N_GRIDS.get((prefix, "aimpp"))))
 
 
 NUM_STD = dict(full="02", subset="03", subset_aug="04", cs="05", me="06",
@@ -140,7 +163,7 @@ w("SUIM/16_SUIM_GT_IM++.py",
   "GT-IM++ oracle: IM++ with true-GT mIoU instead of an EvalNet.",
   training_body("suim",
                 'run_im_plus_plus_stage(ad, approach="GT_IM_plus_plus", '
-                'use_gt_oracle=True)'))
+                'use_gt_oracle=True)', n_grid=N2))
 
 # ------------------------------------------------ preprocessing scripts
 w("ISIC_2018/00_ISIC_2018_preprocess_images.py",
