@@ -188,18 +188,30 @@ def main() -> None:
         return (times[16] - times[4]) / 12
 
     t_packed15 = step_time(15, "packed")
-    t_single = step_time(1, "unrolled", sync_every_step=True)
+    # Two baselines: the serialized single-model step measured device-
+    # accumulated (no host sync — conservative, what the hardware costs)
+    # and Keras-style with the per-batch loss fetch the reference's
+    # model.fit actually pays.  On this relay a scalar round trip is
+    # ~28 ms, so charging the sync here would make the headline ratio an
+    # environment artifact — vs_baseline therefore uses the UNSYNCED step
+    # and the synced one is reported separately.
+    t_single = step_time(1, "unrolled")
+    t_single_sync = step_time(1, "unrolled", sync_every_step=True)
     train_mips = 15 * 32 / t_packed15
     base_mips = 32 / t_single
+    base_mips_sync = 32 / t_single_sync
     print(json.dumps({
         "metric": "population_train_model_images_per_sec_per_chip",
         "value": round(train_mips, 1),
         "unit": "model-images/sec/chip",
         "vs_baseline": round(train_mips / base_mips, 2),
+        "vs_baseline_keras_sync": round(train_mips / base_mips_sync, 2),
     }), flush=True)
     print(f"# train: packed pop-15 {t_packed15 * 1e3:.1f} ms/step "
           f"({train_mips:.0f} model-img/s) | serialized single model "
-          f"{t_single * 1e3:.1f} ms/step ({base_mips:.0f} model-img/s)",
+          f"{t_single * 1e3:.1f} ms/step ({base_mips:.0f} model-img/s), "
+          f"with Keras per-step sync {t_single_sync * 1e3:.1f} ms/step "
+          f"({base_mips_sync:.0f} model-img/s)",
           file=sys.stderr)
 
 

@@ -184,6 +184,14 @@ def eval_batches(ds: Dataset, batch_size: int,
         yield images, targets
 
 
+def release_device_cache(ds: Dataset) -> None:
+    """Drop the HBM copies device_eval_batches pinned on ``ds``."""
+    for attr in ("_device_images_cache", "_device_images_key",
+                 "_device_targets_cache", "_device_targets_key"):
+        if hasattr(ds, attr):
+            delattr(ds, attr)
+
+
 def device_eval_batches(ds: Dataset, batch_size: int,
                         device_targets: bool = True,
                         pad_final: bool = False) -> Iterator[tuple]:
@@ -197,16 +205,24 @@ def device_eval_batches(ds: Dataset, batch_size: int,
     whose metric math runs on host, e.g. HeLa)."""
     import jax.numpy as jnp
 
+    # cache keyed on the identity of the HOST array, not just its length:
+    # replacing ds.images with same-length different content must not
+    # serve stale device data.  The device copy pins the split in HBM for
+    # the Dataset's lifetime by design (that is the point); call
+    # release_device_cache(ds) to free it early.
     dev = getattr(ds, "_device_images_cache", None)
-    if dev is None or dev.shape[0] != len(ds):
+    if dev is None or getattr(ds, "_device_images_key", None) is not ds.images:
         dev = jnp.asarray(ds.images)
         ds._device_images_cache = dev
+        ds._device_images_key = ds.images
     tgt = None
     if device_targets and ds.targets is not None:
         tgt = getattr(ds, "_device_targets_cache", None)
-        if tgt is None or tgt.shape[0] != len(ds):
+        if (tgt is None
+                or getattr(ds, "_device_targets_key", None) is not ds.targets):
             tgt = jnp.asarray(ds.targets)
             ds._device_targets_cache = tgt
+            ds._device_targets_key = ds.targets
     n = len(ds)
     for start in range(0, n, batch_size):
         skip = 0

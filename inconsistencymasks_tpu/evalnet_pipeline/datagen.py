@@ -43,6 +43,22 @@ from ..utils.io_pool import flushes_writes, imwrite_async
 
 _KERNEL_CHOICES = (0, 3, 5)
 
+# jitted entry points for the per-batch metric math (eager dispatch is
+# ~1 s/op on this backend) — fixed batch shapes via pad_final keep these
+# at one compile per program
+_iou_binary_j = jax.jit(metrics.iou_binary)
+_iou_multi_j = jax.jit(metrics.iou_multi_unique,
+                       static_argnames="num_classes")
+
+
+def _pad_rows(a: np.ndarray, bs: int) -> np.ndarray:
+    """Repeat the last row so a host batch matches the fixed batch size
+    (the gt-side mirror of ``eval_batches(pad_final=True)``: every distinct
+    batch shape is a separate multi-minute remote compile)."""
+    if a.shape[0] == bs:
+        return a
+    return np.concatenate([a, np.repeat(a[-1:], bs - a.shape[0], axis=0)])
+
 
 def _append_labels(main_output_path: str, rows) -> None:
     with open(os.path.join(main_output_path, "labels.csv"), "a",
@@ -95,19 +111,20 @@ def create_training_data_evalnet_binary(module, variables, images_path: str,
 
     rows = []
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, len(ds) - cursor)
         probs = forward(variables, jnp.asarray(images))
         preds = np.asarray(((probs[..., 0] > threshold) * 255
                             ).astype(jnp.uint8))
-        gts = gt.images[cursor:cursor + preds.shape[0], ..., 0]
-        ious = np.asarray(metrics.iou_binary(jnp.asarray(gts),
-                                             jnp.asarray(preds)))
-        for j in range(preds.shape[0]):
+        gts = _pad_rows(gt.images[cursor:cursor + valid, ..., 0], batch_size)
+        ious = np.asarray(_iou_binary_j(jnp.asarray(gts),
+                                        jnp.asarray(preds)))
+        for j in range(valid):
             name = _pred_name(ds.names[cursor + j], i)
             imwrite_async(os.path.join(main_output_path, "masks", name),
                         preds[j])
             rows.append((name, round(float(ious[j]), 4)))
-        cursor += preds.shape[0]
+        cursor += valid
 
     if i == 0:
         _copy_gt_pairs(images_path, masks_path, main_output_path, rows)
@@ -135,10 +152,11 @@ def create_training_data_evalnet_multiclass(module, variables,
 
     rows = []
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, len(ds) - cursor)
         probs = forward(variables, jnp.asarray(images))
         preds = np.asarray(jnp.argmax(probs, axis=-1).astype(jnp.uint8))
-        gts = gt.images[cursor:cursor + preds.shape[0], ..., 0]
+        gts = _pad_rows(gt.images[cursor:cursor + valid, ..., 0], batch_size)
         pred_i = jnp.asarray(preds.astype(np.int32))
         gt_i = jnp.asarray(gts.astype(np.int32))
         if classwise_labels:
@@ -146,9 +164,9 @@ def create_training_data_evalnet_multiclass(module, variables,
                                                   num_classes))
             det = np.asarray(compute_classwise_detection(gt_i, num_classes))
         else:
-            ious = np.asarray(metrics.iou_multi_unique(pred_i, gt_i,
-                                                       num_classes))
-        for j in range(preds.shape[0]):
+            ious = np.asarray(_iou_multi_j(pred_i, gt_i,
+                                           num_classes=num_classes))
+        for j in range(valid):
             name = _pred_name(ds.names[cursor + j], i)
             imwrite_async(os.path.join(main_output_path, "masks", name),
                         preds[j])
@@ -157,7 +175,7 @@ def create_training_data_evalnet_multiclass(module, variables,
                              *[int(v) for v in det[j]]))
             else:
                 rows.append((name, round(float(ious[j]), 4)))
-        cursor += preds.shape[0]
+        cursor += valid
 
     if i == 0:
         if classwise_labels:
@@ -225,6 +243,39 @@ def _random_morphology(im2d, erode_choice, dilate_choice):
         di, dilate_choice[None, :, None, None], axis=0)[0]
 
 
+@jax.jit
+def _hela_subset_vote_block(probs, images, subset_mask, threshold, er, di):
+    """HeLa per-image random-subset unanimity vote + random morphology +
+    blockout as ONE program (reference functions.py:3881-4006 semantics):
+    probs (K,B,H,W,3), subset_mask (B,K) -> (blocked bf images, blocked
+    3-channel pred)."""
+    sel = subset_mask.T.astype(jnp.int32)
+    n_sel = jnp.sum(sel, axis=0)
+    m = (probs >= threshold).astype(jnp.int32)
+    votes = jnp.sum(m * sel[:, :, None, None, None], axis=0)
+    nb = n_sel[:, None, None, None]
+    pred = ((votes == nb) * 255).astype(jnp.uint8)            # (B,H,W,3)
+    im = jnp.logical_and(votes != 0, votes != nb)
+    im2d = (jnp.max(im, axis=-1) * 255).astype(jnp.uint8)
+    im2d = _random_morphology(im2d, er, di)
+    hole = im2d > 0
+    images_b = jnp.where(hole[..., None], jnp.uint8(0), images)
+    pred = jnp.where(hole[..., None], jnp.uint8(0), pred)
+    return images_b, pred
+
+
+@jax.jit
+def _hela_iou_det(pred, gts):
+    """Per-channel IoU + any-pixel detection flags, (B,H,W,3) -> 2x(B,3)."""
+    inter = jnp.sum(((pred > 0) & (gts > 0)).astype(jnp.float32),
+                    axis=(1, 2))
+    union = jnp.sum(((pred > 0) | (gts > 0)).astype(jnp.float32),
+                    axis=(1, 2))
+    det = (jnp.sum((gts > 0).astype(jnp.int32), axis=(1, 2)) > 0
+           ).astype(jnp.float32)
+    return inter / (union + 1e-7), det
+
+
 def _random_subsets(rng: np.random.RandomState, b: int, k: int,
                     n_min: int, n_max: int) -> np.ndarray:
     out = np.zeros((b, k), bool)
@@ -275,24 +326,25 @@ def create_training_data_evalnet_im_binary(
     rows = []
     for nl in range(num_loops):
         cursor = 0
-        for images, _ in eval_batches(ds, batch_size):
+        for images, _ in eval_batches(ds, batch_size, pad_final=True):
+            valid = min(batch_size, len(ds) - cursor)
             images_j = jnp.asarray(images)
             img_b, pred, _ = _im_datagen_common(
                 ens, images_j, threshold, host_rng, n_min_models,
                 n_max_models, binary=True)
-            gts = jnp.asarray(
-                gt.images[cursor:cursor + images.shape[0], ..., 0])
-            ious = np.asarray(metrics.iou_binary(gts, pred))
+            gts = jnp.asarray(_pad_rows(
+                gt.images[cursor:cursor + valid, ..., 0], batch_size))
+            ious = np.asarray(_iou_binary_j(gts, pred))
             # random 50 % augmentation per image: augment the whole batch
             # once, keep augmented or plain per-image (one program)
             key, k_aug = jax.random.split(key)
             aug_img, aug_masks = augment.augment_image_and_masks(
                 k_aug, img_b, [pred], aug_p)
-            take_aug = host_rng.random_sample(images.shape[0]) < 0.5
+            take_aug = host_rng.random_sample(batch_size) < 0.5
             img_np, pred_np = np.asarray(img_b), np.asarray(pred)
             aug_img_np = np.asarray(aug_img)
             aug_pred_np = np.asarray(aug_masks[0])
-            for i in range(images.shape[0]):
+            for i in range(valid):
                 name = f"{ds.names[cursor + i][:-4]}_aug_{nl}.png"
                 rows.append((name, round(float(ious[i]), 4)))
                 oi = aug_img_np[i] if take_aug[i] else img_np[i]
@@ -303,7 +355,7 @@ def create_training_data_evalnet_im_binary(
                             bgr)
                 imwrite_async(os.path.join(main_output_path, "masks", name),
                             om)
-            cursor += images.shape[0]
+            cursor += valid
 
     _append_labels(main_output_path, rows)
 
@@ -336,13 +388,15 @@ def create_training_data_evalnet_im_multiclass(
     rows = []
     for nl in range(num_loops):
         cursor = 0
-        for images, _ in eval_batches(ds, batch_size):
+        for images, _ in eval_batches(ds, batch_size, pad_final=True):
+            valid = min(batch_size, len(ds) - cursor)
             images_j = jnp.asarray(images)
             img_b, pred, _ = _im_datagen_common(
                 ens, images_j, 0.5, host_rng, n_min_models, n_max_models,
                 binary=False)
-            gts = jnp.asarray(gt.images[cursor:cursor + images.shape[0],
-                                        ..., 0].astype(np.int32))
+            gts = jnp.asarray(_pad_rows(
+                gt.images[cursor:cursor + valid, ..., 0], batch_size
+            ).astype(np.int32))
             pred_i32 = pred.astype(jnp.int32)
             if classwise_labels:
                 cw = np.asarray(compute_classwise_iou(pred_i32, gts,
@@ -353,16 +407,16 @@ def create_training_data_evalnet_im_multiclass(
                     pred_i32, num_classes, jnp.asarray(gt_counts),
                     detection_threshold))
             else:
-                scalar = np.asarray(metrics.iou_multi_unique(
-                    pred_i32, gts, num_classes))
+                scalar = np.asarray(_iou_multi_j(
+                    pred_i32, gts, num_classes=num_classes))
             key, k_aug = jax.random.split(key)
             aug_img, aug_masks = augment.augment_image_and_masks(
                 k_aug, img_b, [pred], aug_p)
-            take_aug = host_rng.random_sample(images.shape[0]) < 0.5
+            take_aug = host_rng.random_sample(batch_size) < 0.5
             img_np, pred_np = np.asarray(img_b), np.asarray(pred)
             aug_img_np, aug_pred_np = (np.asarray(aug_img),
                                        np.asarray(aug_masks[0]))
-            for i in range(images.shape[0]):
+            for i in range(valid):
                 name = f"{ds.names[cursor + i][:-4]}_aug_{nl}.png"
                 if classwise_labels:
                     rows.append((name,
@@ -378,7 +432,7 @@ def create_training_data_evalnet_im_multiclass(
                             bgr)
                 imwrite_async(os.path.join(main_output_path, "masks", name),
                             om)
-            cursor += images.shape[0]
+            cursor += valid
 
     _append_labels(main_output_path, rows)
 
@@ -420,47 +474,32 @@ def create_training_data_evalnet_miou_im_hela(
     rows = []
     for nl in range(num_loops):
         cursor = 0
-        for images, _ in eval_batches(ds, batch_size):
-            b = images.shape[0]
+        for images, _ in eval_batches(ds, batch_size, pad_final=True):
+            valid = min(batch_size, len(ds) - cursor)
             images_j = jnp.asarray(images)
             probs = ens.predict_probs(images_j)       # (K,B,H,W,3)
-            subset = _random_subsets(host_rng, b, ens.size, n_min_models,
-                                     n_max_models)
-            sel = jnp.asarray(subset).T.astype(jnp.int32)
-            n_sel = jnp.sum(sel, axis=0)
-            m = (probs >= threshold).astype(jnp.int32)
-            votes = jnp.sum(m * sel[:, :, None, None, None], axis=0)
-            nb = n_sel[:, None, None, None]
-            pred = ((votes == nb) * 255).astype(jnp.uint8)   # (B,H,W,3)
-            im = jnp.logical_and(votes != 0, votes != nb)
-            im2d = (jnp.max(im, axis=-1) * 255).astype(jnp.uint8)
-            er = jnp.asarray(host_rng.randint(0, 3, size=b))
-            di = jnp.asarray(host_rng.randint(0, 3, size=b))
-            im2d = _random_morphology(im2d, er, di)
-            hole = im2d > 0
-            images_b = jnp.where(hole[..., None], jnp.uint8(0), images_j)
-            pred = jnp.where(hole[..., None], jnp.uint8(0), pred)
+            subset = _random_subsets(host_rng, batch_size, ens.size,
+                                     n_min_models, n_max_models)
+            er = jnp.asarray(host_rng.randint(0, 3, size=batch_size))
+            di = jnp.asarray(host_rng.randint(0, 3, size=batch_size))
+            images_b, pred = _hela_subset_vote_block(
+                probs, images_j, jnp.asarray(subset), threshold, er, di)
 
-            gts = np.stack([gt_chans[c].images[cursor:cursor + b, ..., 0]
-                            for c in ("alive", "dead", "mod_position")],
-                           axis=-1)
-            gts_j = jnp.asarray(gts)
-            inter = jnp.sum(((pred > 0) & (gts_j > 0)).astype(jnp.float32),
-                            axis=(1, 2))
-            union = jnp.sum(((pred > 0) | (gts_j > 0)).astype(jnp.float32),
-                            axis=(1, 2))
-            ious = np.asarray(inter / (union + 1e-7))          # (B, 3)
-            det = np.asarray((jnp.sum((gts_j > 0).astype(jnp.int32),
-                                      axis=(1, 2)) > 0).astype(jnp.float32))
+            gts = _pad_rows(np.stack(
+                [gt_chans[c].images[cursor:cursor + valid, ..., 0]
+                 for c in ("alive", "dead", "mod_position")],
+                axis=-1), batch_size)
+            ious_j, det_j = _hela_iou_det(pred, jnp.asarray(gts))
+            ious, det = np.asarray(ious_j), np.asarray(det_j)   # (B, 3)
 
             key, k_aug = jax.random.split(key)
             aug_img, aug_masks = augment.augment_image_and_masks(
                 k_aug, images_b, [pred], aug_p)
-            take_aug = host_rng.random_sample(b) < 0.5
+            take_aug = host_rng.random_sample(batch_size) < 0.5
             img_np, pred_np = np.asarray(images_b), np.asarray(pred)
             aug_img_np, aug_pred_np = (np.asarray(aug_img),
                                        np.asarray(aug_masks[0]))
-            for i in range(b):
+            for i in range(valid):
                 name = f"{ds.names[cursor + i][:-4]}_aug_{nl}.png"
                 rows.append((name, *[round(float(v), 4) for v in ious[i]],
                              *[int(v) for v in det[i]]))
@@ -474,7 +513,7 @@ def create_training_data_evalnet_miou_im_hela(
                             om[..., 1])
                 imwrite_async(os.path.join(main_output_path, "mod_position",
                                          name), om[..., 2])
-            cursor += b
+            cursor += valid
 
     _append_labels(main_output_path, rows)
 
@@ -525,10 +564,11 @@ def create_training_data_evalnet_miou_hela(
     rows = []
     cursor = 0
     det_last = np.zeros((3,), np.float32)
-    for images, _ in eval_batches(ds, batch_size):
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
         probs = forward(variables, jnp.asarray(images))
         preds = np.asarray(((probs > threshold) * 255).astype(jnp.uint8))
-        b = preds.shape[0]
+        b = min(batch_size, len(ds) - cursor)   # metric math is host-side:
+        preds = preds[:b]                       # trim padding after forward
         gt_stack = np.stack(
             [gts[c].images[cursor:cursor + b, ..., 0] for c in chans[1:]],
             axis=-1)                                        # (B,H,W,3)

@@ -27,6 +27,11 @@ def packbits2d(mask) -> jnp.ndarray:
     m = (mask > 0).astype(jnp.int32)
     shape = m.shape
     w = shape[-1]
+    if w % 8:
+        # pad the last byte with zeros like np.packbits; unpackbits2d's
+        # ``width`` argument truncates the padding on the way back.
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, 8 - w % 8)])
+        w = m.shape[-1]
     m = m.reshape(shape[:-1] + (w // 8, 8))
     packed = jnp.sum(m * _WEIGHTS, axis=-1)
     return packed.astype(jnp.uint8)

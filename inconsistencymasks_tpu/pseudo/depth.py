@@ -58,24 +58,33 @@ def benchmark_depth(module, variables, ds: Dataset, *,
                     batch_size: int = 32) -> tuple:
     """Returns (rmse, mse); writes predictions scaled back to [0,255] PNGs
     (reference functions.py:1345-1384)."""
-    forward = jax.jit(lambda v, x: module.apply(v, x, train=False))
+    @jax.jit
+    def forward(v, x, d):
+        preds = module.apply(v, x, train=False)
+        se = jnp.sum(jnp.square(preds - d), axis=(1, 2, 3))  # per image
+        out = jnp.clip(preds * 255.0, 0, 255).astype(jnp.uint8)
+        return out, se
+
     if pred_dir:
         os.makedirs(pred_dir, exist_ok=True)
     se_sum, count = 0.0, 0
     cursor = 0
-    for images, depths in eval_batches(ds, batch_size):
-        preds = forward(variables, jnp.asarray(images))
-        se = float(jnp.sum(jnp.square(preds - jnp.asarray(depths))))
-        se_sum += se
-        count += int(np.prod(depths.shape))
+    # pad_final keeps every batch the same program shape (each distinct
+    # shape is a separate multi-minute remote compile); per-image SEs are
+    # summed host-side over the valid rows only
+    for images, depths in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, len(ds) - cursor)
+        out, se = forward(variables, jnp.asarray(images),
+                          jnp.asarray(depths))
+        se_sum += float(np.asarray(se)[:valid].sum())
+        count += valid * int(np.prod(depths.shape[1:]))
         if pred_dir:
-            out = np.asarray(jnp.clip(preds * 255.0, 0, 255)
-                             ).astype(np.uint8)
-            for i in range(out.shape[0]):
+            out_np = np.asarray(out)
+            for i in range(valid):
                 imwrite_async(os.path.join(pred_dir,
                                          ds.names[cursor + i]),
-                            out[i, ..., 0])
-        cursor += images.shape[0]
+                            out_np[i, ..., 0])
+        cursor += valid
     mse = se_sum / count
     return float(np.sqrt(mse)), mse
 
@@ -109,10 +118,11 @@ def create_pseudo_labels_im_depth(module, models: Sequence,
         return img_b, depth_b, (im * 255).astype(jnp.uint8)
 
     cursor = 0
-    for images, _ in eval_batches(ds, batch_size):
+    for images, _ in eval_batches(ds, batch_size, pad_final=True):
+        valid = min(batch_size, len(ds) - cursor)
         img_b, depth_b, im = fused(ens.stacked, jnp.asarray(images))
         img_b, depth_b, im = map(np.asarray, (img_b, depth_b, im))
-        for i in range(img_b.shape[0]):
+        for i in range(valid):
             name = ds.names[cursor + i]
             imwrite_async(os.path.join(main_output_path, "images", name),
                         cv2.cvtColor(img_b[i], cv2.COLOR_RGB2BGR)
@@ -120,4 +130,4 @@ def create_pseudo_labels_im_depth(module, models: Sequence,
             imwrite_async(os.path.join(main_output_path, "depth_maps", name),
                         depth_b[i])
             imwrite_async(os.path.join(main_output_path, "im", name), im[i])
-        cursor += img_b.shape[0]
+        cursor += valid

@@ -134,8 +134,13 @@ def run_grid_cell(
     loss = "cce" if kind == "multiclass" else "mse"
 
     # HBM-bounded candidate chunks (one chunk = one fused packed program;
-    # the anchor config trains all 10 FDT/LDT candidates in one)
-    chunk = _hbm_chunk_candidates(cfg, module)
+    # the anchor config trains all 10 FDT/LDT candidates in one).
+    # Equalized via ceil-division so population % chunk does not leave a
+    # smaller final chunk — a distinct program shape costs a separate
+    # multi-minute remote compile (same scheme as run_grid_cells_merged).
+    merge_max = _hbm_chunk_candidates(cfg, module)
+    n_chunks = -(-population // merge_max)
+    chunk = -(-population // n_chunks)
     best = []
     for start in range(0, population, chunk):
         part = jax.tree.map(lambda a: a[start:start + chunk], stacked)
