@@ -482,6 +482,12 @@ def run_consistency_stage(ad: DatasetAdapter, population: int = 5) -> None:
     for runid in ad.runids:
         for idx, strength in enumerate(CS_STRENGTHS):
             modelname = f"{ad.prefix}_{approach}_{runid}_aug_{strength}"
+            # crash-resume like every other stage (cell_done keys on the
+            # results CSV + topK-1 artifacts this loop writes last) — its
+            # cells are the longest-running ones (NUM_EPOCHS_CS), so a
+            # relay wedge mid-05 must not restart the stage from zero
+            if cell_done(ad, modelname):
+                continue
             warm, _ = load_variables(
                 ad.topk_path(f"{ad.prefix}_subset_{runid}", 1))
             stacked = stack_variables([warm] * population)
