@@ -9,9 +9,11 @@ between MIN_THRESHOLD and MAX_THRESHOLD:
     otherwise               -> 1
     (clamped to 5)                                  [functions.py:5742-5751]
 
-Scoring is batched on device; the j-th augmented copy of the whole batch is
-one fused augmentation program, and each image writes only its first
-``num_augs`` copies — same output set as the reference's per-image loop.
+Scoring is batched on device (one jitted ensemble-mean program per batch);
+the augmented copies are produced by the HOST cv2 pipeline
+(ops/augment_host) since the pairs are already host arrays and the relay
+download would dominate — same output set as the reference's per-image
+loop.
 
 ``create_augment_images_and_masks_with_gt`` is the GT-IM++ oracle
 (functions.py:6057-6121): the score is the TRUE mean IoU vs ground truth
@@ -30,6 +32,7 @@ import numpy as np
 
 from ..data.loader import list_pngs
 from ..ops import augment
+from ..ops.augment_host import augment_image_and_masks_host
 from ..ops.unroll import unrolled_map
 from ..pseudo.engine import StackedEnsemble
 from ..utils.io_pool import flushes_writes, imwrite_async
@@ -38,10 +41,17 @@ _SCORE_CACHE: dict = {}
 
 
 def _scorer(module):
+    """Jitted ensemble-MEAN scorer: the E-model unroll and the mean over
+    models run as one program (an eager per-batch mean costs a ~1 s
+    dispatch on this backend)."""
     fn = _SCORE_CACHE.get(module)
     if fn is None:
-        fn = jax.jit(lambda stacked, imgs, masks: unrolled_map(
-            lambda v: module.apply(v, imgs, masks, train=False), stacked))
+        def score(stacked, imgs, masks):
+            out = unrolled_map(
+                lambda v: module.apply(v, imgs, masks, train=False),
+                stacked)
+            return jax.tree.map(lambda t: jnp.mean(t, axis=0), out)
+        fn = jax.jit(score)
         _SCORE_CACHE[module] = fn
     return fn
 
@@ -59,31 +69,25 @@ def num_augs_from_score(score: float, min_threshold: float,
 
 
 def _write_adaptive_augs(images, masks, names, num_augs, out_main,
-                         aug_params, key, channels, multiclass_mask):
-    """Generate 5 augmented copies of the batch (5 fused programs) and keep
-    copy j for image i iff j < num_augs[i]."""
-    images_j = jnp.asarray(images)
-    masks_j = jnp.asarray(masks)
-    for j in range(5):
-        if not np.any(num_augs > j):
-            break
-        key, k = jax.random.split(key)
-        aug_img, aug_masks = augment.augment_image_and_masks(
-            k, images_j, [masks_j], aug_params)
-        aug_img = np.asarray(aug_img)
-        aug_mask = np.asarray(aug_masks[0])
-        for i in range(images.shape[0]):
-            if j >= num_augs[i]:
-                continue
+                         aug_params, rng, channels, multiclass_mask):
+    """Write ``num_augs[i]`` augmented copies of each (image, mask) pair.
+
+    Runs on the HOST (ops/augment_host — the reference's own per-image cv2
+    loop, functions.py:5742-5757): the pairs are already host arrays read
+    from disk, and a device round trip would download ~200 KB/copy over
+    the ~1 MB/s relay; only the EvalNet scoring touches the device."""
+    for i in range(images.shape[0]):
+        for j in range(int(num_augs[i])):
+            oi, (om,) = augment_image_and_masks_host(
+                rng, images[i], [masks[i]], aug_params)
             stem = names[i][:-4]
-            oi = aug_img[i]
             bgr = (cv2.cvtColor(oi, cv2.COLOR_RGB2BGR)
                    if channels == 3 else oi[..., 0] if oi.ndim == 3 else oi)
             imwrite_async(os.path.join(out_main, "images",
                                      f"{stem}___{j}.png"), bgr)
             imwrite_async(os.path.join(out_main, "masks",
-                                     f"{stem}___{j}.png"), aug_mask[i])
-    return key
+                                     f"{stem}___{j}.png"), om)
+    return rng
 
 
 @flushes_writes
@@ -106,7 +110,7 @@ def create_augment_images_and_masks_with_evalnet_binary(
         brightness_alpha=tuple(brightness_range_alpha),
         brightness_beta=tuple(brightness_range_beta),
         free_rotation=free_rotation)
-    key = jax.random.PRNGKey(seed)
+    rng = np.random.RandomState(seed)
 
     for start in range(0, len(names), batch_size):
         chunk = names[start:start + batch_size]
@@ -124,13 +128,13 @@ def create_augment_images_and_masks_with_evalnet_binary(
         imgs = np.stack(imgs)
         masks = np.stack(masks)
         scores = score(ens.stacked, jnp.asarray(imgs),
-                       jnp.asarray(masks[..., None]))        # (E,B,1)
-        mean = np.asarray(jnp.mean(scores, axis=0))[:, 0]
+                       jnp.asarray(masks[..., None]))        # (B,1) mean
+        mean = np.asarray(scores)[:, 0]
         num_augs = np.asarray([num_augs_from_score(s, min_threshold,
                                                    max_threshold)
                                for s in mean])
-        key = _write_adaptive_augs(imgs, masks, chunk, num_augs,
-                                   main_output_path, aug_p, key, channels,
+        rng = _write_adaptive_augs(imgs, masks, chunk, num_augs,
+                                   main_output_path, aug_p, rng, channels,
                                    multiclass_mask=False)
 
 
@@ -154,7 +158,7 @@ def create_augment_images_and_masks_with_evalnet_multiclass(
         brightness_alpha=tuple(brightness_range_alpha),
         brightness_beta=tuple(brightness_range_beta),
         free_rotation=free_rotation)
-    key = jax.random.PRNGKey(seed)
+    rng = np.random.RandomState(seed)
     eye = np.eye(num_classes, dtype=np.uint8)
 
     for start in range(0, len(names), batch_size):
@@ -171,8 +175,8 @@ def create_augment_images_and_masks_with_evalnet_multiclass(
         onehot = eye[np.clip(masks, 0, num_classes - 1)]
         iou_p, det_p = score(ens.stacked, jnp.asarray(imgs),
                              jnp.asarray(onehot))
-        mean_iou = np.asarray(jnp.mean(iou_p, axis=0))       # (B,C)
-        mean_det = np.asarray(jnp.mean(det_p, axis=0))
+        mean_iou = np.asarray(iou_p)                         # (B,C) means
+        mean_det = np.asarray(det_p)
         if detection_masked:
             valid = mean_det >= 0.5
             nv = valid.sum(-1)
@@ -184,8 +188,8 @@ def create_augment_images_and_masks_with_evalnet_multiclass(
         num_augs = np.asarray([num_augs_from_score(s, min_threshold,
                                                    max_threshold)
                                for s in miou])
-        key = _write_adaptive_augs(imgs, masks, chunk, num_augs,
-                                   main_output_path, aug_p, key, channels,
+        rng = _write_adaptive_augs(imgs, masks, chunk, num_augs,
+                                   main_output_path, aug_p, rng, channels,
                                    multiclass_mask=True)
 
 
@@ -207,7 +211,7 @@ def create_augment_images_and_masks_with_gt(
         brightness_alpha=tuple(brightness_range_alpha),
         brightness_beta=tuple(brightness_range_beta),
         free_rotation=free_rotation)
-    key = jax.random.PRNGKey(seed)
+    rng = np.random.RandomState(seed)
 
     @jax.jit
     def gt_miou(pred, gt):
@@ -241,6 +245,6 @@ def create_augment_images_and_masks_with_gt(
         num_augs = np.asarray([num_augs_from_score(s, min_threshold,
                                                    max_threshold)
                                for s in scores])
-        key = _write_adaptive_augs(imgs, masks, chunk, num_augs,
-                                   main_output_path, aug_p, key, channels,
+        rng = _write_adaptive_augs(imgs, masks, chunk, num_augs,
+                                   main_output_path, aug_p, rng, channels,
                                    multiclass_mask=True)

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import eval_batches, list_pngs, load_images
-from ..ops import augment, metrics, morphology
+from ..ops import augment, bitpack, metrics, morphology
+from ..ops.augment_host import augment_image_and_masks_host
 from ..pseudo.engine import StackedEnsemble
 from .labels import compute_classwise_detection_im, compute_classwise_iou
 from ..utils.io_pool import flushes_writes, imwrite_async
@@ -244,11 +245,12 @@ def _random_morphology(im2d, erode_choice, dilate_choice):
 
 
 @jax.jit
-def _hela_subset_vote_block(probs, images, subset_mask, threshold, er, di):
+def _hela_subset_vote_block(probs, subset_mask, threshold, er, di):
     """HeLa per-image random-subset unanimity vote + random morphology +
     blockout as ONE program (reference functions.py:3881-4006 semantics):
-    probs (K,B,H,W,3), subset_mask (B,K) -> (blocked bf images, blocked
-    3-channel pred)."""
+    probs (K,B,H,W,3), subset_mask (B,K) -> (blocked 3-channel pred,
+    im2d).  The blocked brightfield image is composed on the HOST from
+    the original + im2d (byte-identical, saves the image download)."""
     sel = subset_mask.T.astype(jnp.int32)
     n_sel = jnp.sum(sel, axis=0)
     m = (probs >= threshold).astype(jnp.int32)
@@ -259,9 +261,8 @@ def _hela_subset_vote_block(probs, images, subset_mask, threshold, er, di):
     im2d = (jnp.max(im, axis=-1) * 255).astype(jnp.uint8)
     im2d = _random_morphology(im2d, er, di)
     hole = im2d > 0
-    images_b = jnp.where(hole[..., None], jnp.uint8(0), images)
     pred = jnp.where(hole[..., None], jnp.uint8(0), pred)
-    return images_b, pred
+    return pred, im2d
 
 
 @jax.jit
@@ -287,6 +288,9 @@ def _random_subsets(rng: np.random.RandomState, b: int, k: int,
 
 def _im_datagen_common(ens, images, threshold, host_rng, n_min, n_max,
                       binary):
+    """Device half of the IM datagen: probs -> per-image random-subset IM
+    -> random morphology.  Returns DEVICE (pred, im2d) — blockout and
+    image composition happen on the host from the packed downloads."""
     b, k = images.shape[0], ens.size
     subset = _random_subsets(host_rng, b, k, n_min, n_max)
     probs = ens.predict_probs(images)
@@ -295,10 +299,54 @@ def _im_datagen_common(ens, images, threshold, host_rng, n_min, n_max,
     er = jnp.asarray(host_rng.randint(0, 3, size=b))
     di = jnp.asarray(host_rng.randint(0, 3, size=b))
     im2d = _random_morphology(im2d, er, di)
+    return pred, im2d
+
+
+# Transfer-minimal download protocol (the relay moves device->host at
+# ~1 MB/s): the blocked pred/IM cross bit- or nibble-packed and the
+# blocked IMAGE is composed on the host from the original it already
+# holds (image[im > 0] = 0 — byte-identical to the device blockout);
+# augmentation runs host-side cv2 (ops/augment_host, the reference's own
+# semantics).  Per 16-batch at 256^2 this downloads ~32 KB instead of the
+# ~8 MB of blocked + augmented images the round-2 writers fetched.
+
+@jax.jit
+def _pack_blocked_binary(pred, im2d):
     hole = im2d > 0
-    images_b = jnp.where(hole[..., None], jnp.uint8(0), images)
     pred = jnp.where(hole, jnp.uint8(0), pred)
-    return images_b, pred, im2d
+    return bitpack.packbits2d(pred), bitpack.packbits2d(im2d)
+
+
+@partial(jax.jit, static_argnames=("nibble",))
+def _pack_blocked_multiclass(pred, im2d, nibble):
+    hole = im2d > 0
+    pred = jnp.where(hole, jnp.uint8(0), pred)
+    pm = bitpack.packnibbles2d(pred) if nibble else pred
+    return pm, bitpack.packbits2d(im2d)
+
+
+@partial(jax.jit, static_argnames=("num_classes", "classwise"))
+def _mc_blocked_labels(pred, im2d, gts, num_classes, classwise, det_thr):
+    """Label math on the BLOCKED class map as one program: classwise IoU +
+    IM detection (mIoU variant) or the scalar unique-class IoU."""
+    pred = jnp.where(im2d > 0, jnp.uint8(0), pred).astype(jnp.int32)
+    if classwise:
+        cw = compute_classwise_iou(pred, gts, num_classes)
+        gt_counts = jax.nn.one_hot(gts, num_classes,
+                                   dtype=jnp.float32).sum(axis=(1, 2))
+        det = compute_classwise_detection_im(pred, num_classes, gt_counts,
+                                             det_thr)
+        return cw, det
+    return metrics.iou_multi_unique(pred, gts, num_classes)
+
+
+@jax.jit
+def _pack_blocked_hela(pred, im2d):
+    hole = im2d > 0
+    pred = jnp.where(hole[..., None], jnp.uint8(0), pred)
+    # (B,H,W,3) -> (B,3,H,W/8): pack each channel plane
+    return (bitpack.packbits2d(jnp.moveaxis(pred, -1, 1)),
+            bitpack.packbits2d(im2d))
 
 
 @flushes_writes
@@ -316,39 +364,39 @@ def create_training_data_evalnet_im_binary(
     ds = load_images(images_path, channels)
     gt = load_images(masks_path, 1, names=ds.names)
     host_rng = np.random.RandomState(seed)
-    key = jax.random.PRNGKey(seed)
     aug_p = augment.AugmentParams(
         max_blur=max_blur, max_noise=max_noise,
         brightness_alpha=tuple(brightness_range_alpha),
         brightness_beta=tuple(brightness_range_beta),
         free_rotation=free_rotation)
 
+    w = ds.images.shape[2]
     rows = []
     for nl in range(num_loops):
         cursor = 0
         for images, _ in eval_batches(ds, batch_size, pad_final=True):
             valid = min(batch_size, len(ds) - cursor)
-            images_j = jnp.asarray(images)
-            img_b, pred, _ = _im_datagen_common(
-                ens, images_j, threshold, host_rng, n_min_models,
-                n_max_models, binary=True)
-            gts = jnp.asarray(_pad_rows(
-                gt.images[cursor:cursor + valid, ..., 0], batch_size))
-            ious = np.asarray(_iou_binary_j(gts, pred))
-            # random 50 % augmentation per image: augment the whole batch
-            # once, keep augmented or plain per-image (one program)
-            key, k_aug = jax.random.split(key)
-            aug_img, aug_masks = augment.augment_image_and_masks(
-                k_aug, img_b, [pred], aug_p)
+            pred_d, im_d = _im_datagen_common(
+                ens, jnp.asarray(images), threshold, host_rng,
+                n_min_models, n_max_models, binary=True)
+            pp, pi = _pack_blocked_binary(pred_d, im_d)
+            pred_np = bitpack.unpackbits2d(np.asarray(pp), w) * np.uint8(255)
+            hole = bitpack.unpackbits2d(np.asarray(pi), w).astype(bool)
+            img_b = np.where(hole[..., None], np.uint8(0), images)
+            gts = gt.images[cursor:cursor + valid, ..., 0]
+            t = gts != 0
+            p = pred_np[:valid] != 0
+            inter = np.logical_and(t, p).sum(axis=(1, 2)).astype(np.float64)
+            union = np.logical_or(t, p).sum(axis=(1, 2)).astype(np.float64)
+            ious = inter / (union + 1e-7)
             take_aug = host_rng.random_sample(batch_size) < 0.5
-            img_np, pred_np = np.asarray(img_b), np.asarray(pred)
-            aug_img_np = np.asarray(aug_img)
-            aug_pred_np = np.asarray(aug_masks[0])
             for i in range(valid):
                 name = f"{ds.names[cursor + i][:-4]}_aug_{nl}.png"
                 rows.append((name, round(float(ious[i]), 4)))
-                oi = aug_img_np[i] if take_aug[i] else img_np[i]
-                om = aug_pred_np[i] if take_aug[i] else pred_np[i]
+                oi, om = img_b[i], pred_np[i]
+                if take_aug[i]:
+                    oi, (om,) = augment_image_and_masks_host(
+                        host_rng, oi, [om], aug_p)
                 bgr = (cv2.cvtColor(oi, cv2.COLOR_RGB2BGR)
                        if channels == 3 else oi)
                 imwrite_async(os.path.join(main_output_path, "images", name),
@@ -378,44 +426,41 @@ def create_training_data_evalnet_im_multiclass(
     ds = load_images(images_path, channels)
     gt = load_images(masks_path, 1, names=ds.names)
     host_rng = np.random.RandomState(seed)
-    key = jax.random.PRNGKey(seed)
     aug_p = augment.AugmentParams(
         max_blur=max_blur, max_noise=max_noise,
         brightness_alpha=tuple(brightness_range_alpha),
         brightness_beta=tuple(brightness_range_beta),
         free_rotation=free_rotation)
 
+    w = ds.images.shape[2]
+    nibble = num_classes <= 16
     rows = []
     for nl in range(num_loops):
         cursor = 0
         for images, _ in eval_batches(ds, batch_size, pad_final=True):
             valid = min(batch_size, len(ds) - cursor)
-            images_j = jnp.asarray(images)
-            img_b, pred, _ = _im_datagen_common(
-                ens, images_j, 0.5, host_rng, n_min_models, n_max_models,
-                binary=False)
+            pred_d, im_d = _im_datagen_common(
+                ens, jnp.asarray(images), 0.5, host_rng, n_min_models,
+                n_max_models, binary=False)
             gts = jnp.asarray(_pad_rows(
                 gt.images[cursor:cursor + valid, ..., 0], batch_size
             ).astype(np.int32))
-            pred_i32 = pred.astype(jnp.int32)
+            # metrics on the BLOCKED pred (device, tiny (B,C) downloads),
+            # pixels on the packed protocol
+            pm, pi = _pack_blocked_multiclass(pred_d, im_d, nibble)
             if classwise_labels:
-                cw = np.asarray(compute_classwise_iou(pred_i32, gts,
-                                                      num_classes))
-                gt_counts = np.asarray(jax.nn.one_hot(
-                    gts, num_classes, dtype=jnp.float32).sum(axis=(1, 2)))
-                det = np.asarray(compute_classwise_detection_im(
-                    pred_i32, num_classes, jnp.asarray(gt_counts),
-                    detection_threshold))
+                cw_d, det_d = _mc_blocked_labels(
+                    pred_d, im_d, gts, num_classes, True,
+                    detection_threshold)
+                cw, det = np.asarray(cw_d), np.asarray(det_d)
             else:
-                scalar = np.asarray(_iou_multi_j(
-                    pred_i32, gts, num_classes=num_classes))
-            key, k_aug = jax.random.split(key)
-            aug_img, aug_masks = augment.augment_image_and_masks(
-                k_aug, img_b, [pred], aug_p)
+                scalar = np.asarray(_mc_blocked_labels(
+                    pred_d, im_d, gts, num_classes, False, 0.0))
+            pred_np = (bitpack.unpacknibbles2d(np.asarray(pm), w) if nibble
+                       else np.asarray(pm))
+            hole = bitpack.unpackbits2d(np.asarray(pi), w).astype(bool)
+            img_b = np.where(hole[..., None], np.uint8(0), images)
             take_aug = host_rng.random_sample(batch_size) < 0.5
-            img_np, pred_np = np.asarray(img_b), np.asarray(pred)
-            aug_img_np, aug_pred_np = (np.asarray(aug_img),
-                                       np.asarray(aug_masks[0]))
             for i in range(valid):
                 name = f"{ds.names[cursor + i][:-4]}_aug_{nl}.png"
                 if classwise_labels:
@@ -424,8 +469,10 @@ def create_training_data_evalnet_im_multiclass(
                                  *[int(v) for v in det[i]]))
                 else:
                     rows.append((name, round(float(scalar[i]), 4)))
-                oi = aug_img_np[i] if take_aug[i] else img_np[i]
-                om = aug_pred_np[i] if take_aug[i] else pred_np[i]
+                oi, om = img_b[i], pred_np[i]
+                if take_aug[i]:
+                    oi, (om,) = augment_image_and_masks_host(
+                        host_rng, oi, [om], aug_p)
                 bgr = (cv2.cvtColor(oi, cv2.COLOR_RGB2BGR)
                        if channels == 3 else oi)
                 imwrite_async(os.path.join(main_output_path, "images", name),
@@ -465,46 +512,47 @@ def create_training_data_evalnet_miou_im_hela(
         gt_chans[chan] = load_images(os.path.join(gt_main_path, chan), 1,
                                      names=ds.names)
     host_rng = np.random.RandomState(seed)
-    key = jax.random.PRNGKey(seed)
     aug_p = augment.AugmentParams(
         max_blur=max_blur, max_noise=max_noise,
         brightness_alpha=tuple(brightness_range_alpha),
         brightness_beta=tuple(brightness_range_beta), free_rotation=False)
 
+    h, w = ds.images.shape[1:3]
     rows = []
     for nl in range(num_loops):
         cursor = 0
         for images, _ in eval_batches(ds, batch_size, pad_final=True):
             valid = min(batch_size, len(ds) - cursor)
-            images_j = jnp.asarray(images)
-            probs = ens.predict_probs(images_j)       # (K,B,H,W,3)
+            probs = ens.predict_probs(jnp.asarray(images))  # (K,B,H,W,3)
             subset = _random_subsets(host_rng, batch_size, ens.size,
                                      n_min_models, n_max_models)
             er = jnp.asarray(host_rng.randint(0, 3, size=batch_size))
             di = jnp.asarray(host_rng.randint(0, 3, size=batch_size))
-            images_b, pred = _hela_subset_vote_block(
-                probs, images_j, jnp.asarray(subset), threshold, er, di)
+            pred_d, im_d = _hela_subset_vote_block(
+                probs, jnp.asarray(subset), threshold, er, di)
 
             gts = _pad_rows(np.stack(
                 [gt_chans[c].images[cursor:cursor + valid, ..., 0]
                  for c in ("alive", "dead", "mod_position")],
                 axis=-1), batch_size)
-            ious_j, det_j = _hela_iou_det(pred, jnp.asarray(gts))
+            ious_j, det_j = _hela_iou_det(pred_d, jnp.asarray(gts))
             ious, det = np.asarray(ious_j), np.asarray(det_j)   # (B, 3)
 
-            key, k_aug = jax.random.split(key)
-            aug_img, aug_masks = augment.augment_image_and_masks(
-                k_aug, images_b, [pred], aug_p)
+            pp, pi = _pack_blocked_hela(pred_d, im_d)
+            pred_np = np.moveaxis(
+                bitpack.unpackbits2d(np.asarray(pp), w), 1, -1
+            ) * np.uint8(255)                                   # (B,H,W,3)
+            hole = bitpack.unpackbits2d(np.asarray(pi), w).astype(bool)
+            img_b = np.where(hole[..., None], np.uint8(0), images)
             take_aug = host_rng.random_sample(batch_size) < 0.5
-            img_np, pred_np = np.asarray(images_b), np.asarray(pred)
-            aug_img_np, aug_pred_np = (np.asarray(aug_img),
-                                       np.asarray(aug_masks[0]))
             for i in range(valid):
                 name = f"{ds.names[cursor + i][:-4]}_aug_{nl}.png"
                 rows.append((name, *[round(float(v), 4) for v in ious[i]],
                              *[int(v) for v in det[i]]))
-                oi = aug_img_np[i] if take_aug[i] else img_np[i]
-                om = aug_pred_np[i] if take_aug[i] else pred_np[i]
+                oi, om = img_b[i], pred_np[i]
+                if take_aug[i]:
+                    oi, (om,) = augment_image_and_masks_host(
+                        host_rng, oi, [om], aug_p)
                 imwrite_async(os.path.join(main_output_path, "brightfield",
                                          name), oi[..., 0])
                 imwrite_async(os.path.join(main_output_path, "alive", name),

@@ -40,13 +40,17 @@ _SCORE_CACHE: dict = {}
 
 
 def _scorer(module, two_head: bool):
+    """Jitted ensemble-MEAN scorer — the E-model unroll and the mean over
+    models fuse into one program (an eager per-batch mean costs a ~1 s
+    dispatch on this backend)."""
     key = (module, two_head)
     fn = _SCORE_CACHE.get(key)
     if fn is None:
         def score(stacked_vars, images, masks):
             def per_model(v):
                 return module.apply(v, images, masks, train=False)
-            return unrolled_map(per_model, stacked_vars)
+            out = unrolled_map(per_model, stacked_vars)
+            return jax.tree.map(lambda t: jnp.mean(t, axis=0), out)
         fn = jax.jit(score)
         _SCORE_CACHE[key] = fn
     return fn
@@ -109,13 +113,17 @@ def create_training_data_for_segnet_binary(
         for start in range(0, len(items), batch_size):
             chunk = items[start:start + batch_size]
             b = len(chunk)
-            imgs = np.stack([c[1] for c in chunk])                  # (B,...)
-            masks = np.stack([np.stack(c[2]) for c in chunk])       # (B,K,H,W)
+            # pad the final chunk so every batch compiles the same program
+            # shape (each distinct shape is a multi-minute remote compile);
+            # padded rows are scored and dropped
+            chunk_p = chunk + [chunk[-1]] * (batch_size - b)
+            imgs = np.stack([c[1] for c in chunk_p])                # (B,...)
+            masks = np.stack([np.stack(c[2]) for c in chunk_p])     # (B,K,H,W)
             flat_imgs = np.repeat(imgs, k, axis=0)
-            flat_masks = masks.reshape(b * k, *masks.shape[2:])[..., None]
+            flat_masks = masks.reshape(batch_size * k, *masks.shape[2:])[..., None]
             scores = score(ens.stacked, jnp.asarray(flat_imgs),
-                           jnp.asarray(flat_masks))                 # (E,B*K,1)
-            mean = np.asarray(jnp.mean(scores, axis=0)).reshape(b, k)
+                           jnp.asarray(flat_masks))        # (B*K,1) mean
+            mean = np.asarray(scores).reshape(batch_size, k)
             best_idx = mean.argmax(axis=1)
             for i, (n, img, cands) in enumerate(chunk):
                 if mean[i, best_idx[i]] >= threshold:
@@ -166,17 +174,19 @@ def create_training_data_for_segnet_miou_multiclass(
         for start in range(0, len(items), batch_size):
             chunk = items[start:start + batch_size]
             b = len(chunk)
-            imgs = np.stack([c[1] for c in chunk])
-            cands = np.stack([np.stack(c[2]) for c in chunk])   # (B,K,H,W)
+            # pad the final chunk so every batch compiles the same program
+            # shape (each distinct shape is a multi-minute remote compile);
+            # padded rows are scored and dropped
+            chunk_p = chunk + [chunk[-1]] * (batch_size - b)
+            imgs = np.stack([c[1] for c in chunk_p])
+            cands = np.stack([np.stack(c[2]) for c in chunk_p])  # (B,K,H,W)
             onehot = eye[np.clip(cands, 0, num_classes - 1)]    # (B,K,H,W,C)
             flat_imgs = np.repeat(imgs, k, axis=0)
-            flat_masks = onehot.reshape(b * k, *onehot.shape[2:])
+            flat_masks = onehot.reshape(batch_size * k, *onehot.shape[2:])
             iou_p, det_p = score(ens.stacked, jnp.asarray(flat_imgs),
-                                 jnp.asarray(flat_masks))  # (E,B*K,C) each
-            mean_iou = np.asarray(jnp.mean(iou_p, axis=0)).reshape(
-                b, k, num_classes)
-            mean_det = np.asarray(jnp.mean(det_p, axis=0)).reshape(
-                b, k, num_classes)
+                                 jnp.asarray(flat_masks))  # (B*K,C) means
+            mean_iou = np.asarray(iou_p).reshape(batch_size, k, num_classes)
+            mean_det = np.asarray(det_p).reshape(batch_size, k, num_classes)
             valid = mean_det >= 0.5
             num_valid = valid.sum(-1)
             miou = np.where(
@@ -252,14 +262,18 @@ def create_training_data_for_segnet_miou_hela(
         for start in range(0, len(items), batch_size):
             chunk = items[start:start + batch_size]
             b = len(chunk)
-            imgs = np.stack([c[1] for c in chunk])
-            masks = np.stack([np.stack(c[2]) for c in chunk])  # (B,K,H,W,3)
+            # pad the final chunk so every batch compiles the same program
+            # shape (each distinct shape is a multi-minute remote compile);
+            # padded rows are scored and dropped
+            chunk_p = chunk + [chunk[-1]] * (batch_size - b)
+            imgs = np.stack([c[1] for c in chunk_p])
+            masks = np.stack([np.stack(c[2]) for c in chunk_p])  # (B,K,H,W,3)
             flat_imgs = np.repeat(imgs, k, axis=0)
-            flat_masks = masks.reshape(b * k, *masks.shape[2:])
+            flat_masks = masks.reshape(batch_size * k, *masks.shape[2:])
             iou_p, det_p = score(ens.stacked, jnp.asarray(flat_imgs),
                                  jnp.asarray(flat_masks))
-            mean_iou = np.asarray(jnp.mean(iou_p, axis=0)).reshape(b, k, 3)
-            mean_det = np.asarray(jnp.mean(det_p, axis=0)).reshape(b, k, 3)
+            mean_iou = np.asarray(iou_p).reshape(batch_size, k, 3)
+            mean_det = np.asarray(det_p).reshape(batch_size, k, 3)
             valid = mean_det >= 0.5
             nv = valid.sum(-1)
             miou = np.where(nv > 0,

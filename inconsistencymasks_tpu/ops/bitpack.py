@@ -43,8 +43,31 @@ def unpackbits2d(packed: np.ndarray, width: int) -> np.ndarray:
     return bits[..., :width]
 
 
-# jitted entry point for call sites OUTSIDE a jit (eager dispatch is ~1 s/op
-# on this backend)
+def packnibbles2d(classmap) -> jnp.ndarray:
+    """(..., H, W) integer class map with values < 16 -> (..., H, W//2)
+    uint8, 2 pixels per byte (high nibble first).  W must be even after
+    zero-padding (handled like packbits2d)."""
+    m = classmap.astype(jnp.int32)
+    w = m.shape[-1]
+    if w % 2:
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, 1)])
+    m = m.reshape(m.shape[:-1] + (m.shape[-1] // 2, 2))
+    packed = m[..., 0] * 16 + m[..., 1]
+    return packed.astype(jnp.uint8)
+
+
+def unpacknibbles2d(packed: np.ndarray, width: int) -> np.ndarray:
+    """(..., H, W//2) uint8 -> (..., H, W) uint8 class map (host)."""
+    p = np.asarray(packed)
+    out = np.empty(p.shape[:-1] + (p.shape[-1] * 2,), np.uint8)
+    out[..., 0::2] = p >> 4
+    out[..., 1::2] = p & 0x0F
+    return out[..., :width]
+
+
+# jitted entry points for call sites OUTSIDE a jit (eager dispatch is
+# ~1 s/op on this backend)
 import jax as _jax          # noqa: E402
 
 packbits2d_jit = _jax.jit(packbits2d)
+packnibbles2d_jit = _jax.jit(packnibbles2d)

@@ -49,3 +49,11 @@ def test_device_eval_batches_cache_invalidates_on_replace(rng):
     np.testing.assert_array_equal(second, ds.images)
     release_device_cache(ds)
     assert not hasattr(ds, "_device_images_cache")
+
+
+def test_nibble_pack_roundtrip(rng):
+    m = rng.randint(0, 9, (2, 16, 33)).astype(np.uint8)
+    packed = np.asarray(bitpack.packnibbles2d(jnp.asarray(m)))
+    assert packed.shape == (2, 16, 17) and packed.dtype == np.uint8
+    un = bitpack.unpacknibbles2d(packed, 33)
+    np.testing.assert_array_equal(un, m)

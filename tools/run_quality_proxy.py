@@ -1,4 +1,4 @@
-"""Quality-trajectory run on the structured ISIC-scale proxy (QUALITY_r2.md).
+"""Quality-trajectory run on the structured ISIC-scale proxy (QUALITY_r3.md).
 
 The real ISIC 2018 archive needs network access this environment lacks, so
 this drives the FULL production pipeline (the actual zero-arg CLI scripts,
@@ -7,12 +7,19 @@ real TPU, reference epochs/populations) on the structured skin-lesion proxy
 1,000 test at 256^2 — the real task's scale and split protocol, reference
 ISIC_2018/01_ISIC_2018_split_original_train.py:21-57).
 
+Round 3 uses the HARD proxy (difficulty='hard': LDT ~0.7 instead of the
+round-2 generator's saturated 0.94 — VERDICT r2 weak #5) and extends the
+trajectory to the EvalNet arm: 10 (evalnet ensemble + segnet), 12 (IM++),
+13/14 (AIM+/AIM++) — the reference's headline strategies
+(/root/reference/README.md:27,34-38).
+
 Usage:
     python tools/run_quality_proxy.py [stage ...]
-stages default to: build 02 03 04 09 11 collect
+stages default to: build 02 03 04 09 11 12 10 13 14 collect
 Scale-down knobs are inherited from the environment (IM_RUNIDS defaults to
 "1" here — one runid instead of the reference's three — everything else
-reference-default: gens 0-4, n in {2,3,4}, 10/5 candidates, 50 epochs).
+reference-default: gens 0-4, reference per-script n grids, 10/5
+candidates, 50 epochs).
 """
 
 import os
@@ -21,7 +28,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BASE = os.environ.get("IM_QUALITY_BASE", "/tmp/im_quality")
+BASE = os.environ.get("IM_QUALITY_BASE", "/tmp/im_quality_r3")
 ISIC = os.path.join(BASE, "ISIC_2018") + os.sep
 CFG = os.path.join(BASE, "config.ini")
 
@@ -29,9 +36,17 @@ SCRIPTS = {
     "02": "02_ISIC_2018_full_dataset.py",
     "03": "03_ISIC_2018_subset.py",
     "04": "04_ISIC_2018_subset_aug.py",
+    "05": "05_ISIC_2018_consistency_loss.py",
+    "06": "06_ISIC_2018_model_ensemble.py",
+    "07": "07_ISIC_2018_input_ensemble.py",
+    "08": "08_ISIC_2018_noisy_student.py",
     "09": "09_ISIC_2018_IM.py",
+    "10": "10_ISIC_2018_evalnet_ensemble.py",
+    "10s": "10_ISIC_2018_evalnet.py",
     "11": "11_ISIC_2018_IM+.py",
     "12": "12_ISIC_2018_IM++.py",
+    "13": "13_ISIC_2018_aug_IM+.py",
+    "14": "14_ISIC_2018_aug_IM++.py",
 }
 
 
@@ -42,8 +57,8 @@ def build():
 
     if not os.path.isdir(os.path.join(ISIC, "train_labeled", "images")):
         t0 = time.time()
-        make_isic_like_dataset(ISIC)
-        print(f"[build] proxy dataset in {time.time() - t0:.0f}s")
+        make_isic_like_dataset(ISIC, difficulty="hard")
+        print(f"[build] hard proxy dataset in {time.time() - t0:.0f}s")
     # train_full = labeled + unlabeled (the reference's 01 split goes the
     # other way: train_full is the source); hardlinks, no copies
     for sub in ("images", "masks"):
@@ -83,8 +98,8 @@ def collect():
 
 
 def main():
-    stages = sys.argv[1:] or ["build", "02", "03", "04", "09", "11",
-                              "collect"]
+    stages = sys.argv[1:] or ["build", "02", "03", "04", "09", "11", "12",
+                              "10", "13", "14", "collect"]
     for s in stages:
         if s == "build":
             build()
