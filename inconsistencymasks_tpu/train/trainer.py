@@ -302,19 +302,33 @@ class PopulationTrainer:
         return self._step_impl(state, images, targets)
 
     def _train_step_multi_impl(self, state, images_all, targets_all, idx,
-                               mask):
+                               mask, *, sharded: bool = False):
         """Fused multi-CELL step: images_all (C, Nmax, H, W, ch) holds C
         different training sets in HBM; candidate i belongs to cell
         i // (P // C) and gathers its own batch via idx (C, B).  ``mask``
         (P,) bool gates the whole update so cells keep their OWN
         steps_per_epoch in lockstep (reference trains each cell
-        len(ds)//batch steps per epoch, functions.py:207-218)."""
-        gather = jax.vmap(lambda a, ix: jnp.take(a, ix, axis=0))
-        imgs = gather(images_all, idx)
-        tgts = gather(targets_all, idx)
-        reps = self.population // imgs.shape[0]
-        imgs = jnp.repeat(imgs, reps, axis=0)
-        tgts = jnp.repeat(tgts, reps, axis=0)
+        len(ds)//batch steps per epoch, functions.py:207-218).
+
+        ``sharded=True`` runs inside shard_map over 'model': the LOCAL
+        candidate slice maps to its cells via the shard offset
+        (axis_index * local population), so cell boundaries need not align
+        with shard boundaries; the datasets/idx stay replicated."""
+        p_loc = jax.tree.leaves(state["params"])[0].shape[0]
+        n_cells = idx.shape[0]
+        cands = self.population // n_cells
+        cand0 = (jax.lax.axis_index("model") * p_loc if sharded
+                 else jnp.int32(0))
+        cell_ids = (cand0 + jnp.arange(p_loc)) // cands         # (P_loc,)
+        nmax = images_all.shape[1]
+        rows = jnp.take(idx, cell_ids, axis=0)                  # (P_loc, B)
+        gidx = (cell_ids[:, None] * nmax + rows).reshape(-1)
+        flat_i = images_all.reshape((-1,) + images_all.shape[2:])
+        flat_t = targets_all.reshape((-1,) + targets_all.shape[2:])
+        imgs = jnp.take(flat_i, gidx, axis=0).reshape(
+            (p_loc, -1) + images_all.shape[2:])
+        tgts = jnp.take(flat_t, gidx, axis=0).reshape(
+            (p_loc, -1) + targets_all.shape[2:])
         new_state, loss = self._train_step_packed_impl(state, imgs, tgts)
 
         def sel(new, old):
@@ -530,13 +544,19 @@ class PopulationTrainer:
         i // (population // C).  Each cell keeps its own reference
         steps_per_epoch (len//batch, or the ``steps_per_epoch`` list) via
         per-step update masking, so a fused run reproduces each solo
-        cell's trajectory.  Requires the packed path and a single-chip
-        (no-data-axis) setup: the cell datasets live whole in HBM."""
+        cell's trajectory.  Requires the packed path; runs single-chip or
+        sharded over a 'model' mesh axis (the cell datasets are replicated
+        in each device's HBM and every shard gathers its own candidates'
+        batches — SURVEY.md 2.3 model-population parallelism).  A
+        data-sharded (>1) mesh is not supported."""
         if not self.packed:
             raise ValueError("fit_multi requires the packed train path")
         if self.mesh is not None and self._data_axis:
-            raise ValueError("fit_multi does not support a data-sharded "
-                             "mesh yet")
+            n_data = dict(zip(self.mesh.axis_names,
+                              self.mesh.devices.shape))["data"]
+            if n_data > 1:
+                raise ValueError("fit_multi does not support a "
+                                 "data-sharded mesh yet")
         n_cells = len(train_datasets)
         if self.population % n_cells:
             raise ValueError(f"population {self.population} not divisible "
@@ -572,7 +592,17 @@ class PopulationTrainer:
             del bufs[c][:batch_size]
             return out
 
-        step_fn = jax.jit(self._train_step_multi_impl, donate_argnums=0)
+        if self._model_axis:
+            from functools import partial
+            state_spec = jax.tree.map(lambda _: P("model"), self.state)
+            step_fn = jax.jit(jax.shard_map(
+                partial(self._train_step_multi_impl, sharded=True),
+                mesh=self.mesh,
+                in_specs=(state_spec, P(), P(), P(), P("model")),
+                out_specs=(state_spec, P("model")), check_vma=False),
+                donate_argnums=0)
+        else:
+            step_fn = jax.jit(self._train_step_multi_impl, donate_argnums=0)
         # per-step masks: cell c active while t < steps[c]
         masks = [np.repeat(np.asarray([t < s for s in steps]), cands)
                  for t in range(max_steps)]

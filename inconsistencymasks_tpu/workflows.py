@@ -84,6 +84,11 @@ def _hbm_chunk_candidates(cfg: DatasetConfig, module) -> int:
     return max(int(round(15.0 / max(rel, 1e-6))), 1)
 
 
+def _is_oom(err: Exception) -> bool:
+    s = str(err)
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "OOM" in s
+
+
 def _sort_spec(kind: str):
     if kind == "binary":
         return 1, True        # mIoU_val desc
@@ -138,23 +143,38 @@ def run_grid_cell(
     # Equalized via ceil-division so population % chunk does not leave a
     # smaller final chunk — a distinct program shape costs a separate
     # multi-minute remote compile (same scheme as run_grid_cells_merged).
+    # _hbm_chunk_candidates is an extrapolation from one measured anchor,
+    # so the first compile of each chunk size is guarded: an OOM halves
+    # the chunk and retries instead of killing a production run hours in.
     merge_max = _hbm_chunk_candidates(cfg, module)
     n_chunks = -(-population // merge_max)
     chunk = -(-population // n_chunks)
     best = []
-    for start in range(0, population, chunk):
+    start = 0
+    while start < population:
         part = jax.tree.map(lambda a: a[start:start + chunk], stacked)
         trainer = PopulationTrainer(
             module, part, loss=loss, monitor=monitor,
             learning_rate=d.lr, weight_decay=d.wd,
             num_classes=cfg.num_classes, mesh=mesh)
-        trainer.fit(train_ds, val_ds, epochs=epochs,
-                    batch_size=d.batch_size,
-                    steps_per_epoch=steps_per_epoch, seed=d.seed,
-                    log=(lambda m: log(f"[{modelname}] {m}"))
-                    if log else None)
+        try:
+            trainer.fit(train_ds, val_ds, epochs=epochs,
+                        batch_size=d.batch_size,
+                        steps_per_epoch=steps_per_epoch, seed=d.seed,
+                        log=(lambda m: log(f"[{modelname}] {m}"))
+                        if log else None)
+        except Exception as e:              # noqa: BLE001
+            if chunk > 1 and _is_oom(e):
+                chunk = max(chunk // 2, 1)
+                if log:
+                    log(f"[{modelname}] HBM OOM — retrying with "
+                        f"chunk={chunk}")
+                del trainer
+                continue
+            raise
         best.extend(trainer.best_variables())
         del trainer
+        start += chunk
 
     return _finish_cell(
         kind=kind, cfg=cfg, module=module, val_ds=val_ds, test_ds=test_ds,
@@ -302,7 +322,8 @@ def run_grid_cells_merged(
                 s if s is not None else max(len(ds) // d.batch_size, 1)
                 for s, ds in zip(steps_per_cell, train_datasets)]
     best = []
-    for start in range(0, total, chunk):
+    start = 0
+    while start < total:
         part = jax.tree.map(lambda a: a[start:start + chunk], stacked)
         trainer = PopulationTrainer(
             module, part, loss=loss, monitor=monitor,
@@ -310,23 +331,42 @@ def run_grid_cells_merged(
             num_classes=cfg.num_classes, mesh=mesh)
         chunk_log = ((lambda m: log(f"[{tag} {start}:{start + chunk}] {m}"))
                      if log else None)
-        if train_datasets is None:
-            trainer.fit(
-                train_ds, val_ds, epochs=epochs, batch_size=d.batch_size,
-                steps_per_epoch=steps_per_epoch, seed=d.seed,
-                log=chunk_log)
-        else:
-            cell_lo = start // population
-            cell_hi = min((start + chunk) // population, len(cells))
-            trainer.fit_multi(
-                train_datasets[cell_lo:cell_hi], val_ds, epochs=epochs,
-                batch_size=d.batch_size,
-                steps_per_epoch=(steps_per_cell[cell_lo:cell_hi]
-                                 if steps_per_cell is not None
-                                 else steps_per_epoch),
-                seed=d.seed, log=chunk_log)
+        try:
+            if train_datasets is None:
+                trainer.fit(
+                    train_ds, val_ds, epochs=epochs,
+                    batch_size=d.batch_size,
+                    steps_per_epoch=steps_per_epoch, seed=d.seed,
+                    log=chunk_log)
+            else:
+                cell_lo = start // population
+                cell_hi = min((start + chunk) // population, len(cells))
+                trainer.fit_multi(
+                    train_datasets[cell_lo:cell_hi], val_ds, epochs=epochs,
+                    batch_size=d.batch_size,
+                    steps_per_epoch=(steps_per_cell[cell_lo:cell_hi]
+                                     if steps_per_cell is not None
+                                     else steps_per_epoch),
+                    seed=d.seed, log=chunk_log)
+        except Exception as e:              # noqa: BLE001
+            # uncalibrated-HBM-estimate guard: halve the chunk and retry
+            # (cell-granular when per-cell datasets pin the layout)
+            shrinkable = (chunk > 1 if train_datasets is None
+                          else chunk > population)
+            if shrinkable and _is_oom(e):
+                if train_datasets is None:
+                    chunk = max(chunk // 2, 1)
+                else:
+                    cells_per_chunk = max((chunk // population) // 2, 1)
+                    chunk = cells_per_chunk * population
+                if log:
+                    log(f"[{tag}] HBM OOM — retrying with chunk={chunk}")
+                del trainer
+                continue
+            raise
         best.extend(trainer.best_variables())
         del trainer
+        start += chunk
 
     results = []
     for ci, (modelname, _) in enumerate(cells):

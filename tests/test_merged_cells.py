@@ -168,3 +168,34 @@ def test_merged_im_cells(isic_env):
         assert sum(f"{cell}_topK_" in m for m in models) == 2, models
         assert f"results_{cell}.csv" in csvs
         assert f"mean_im_size_{cell}.csv" in csvs
+
+
+def test_oom_backoff_halves_chunk(isic_env):
+    """An HBM OOM during a fused chunk's fit halves the chunk and retries
+    instead of dying (guards the uncalibrated _hbm_chunk_candidates
+    extrapolation — VERDICT r2 weak #7)."""
+    build, monkeypatch = isic_env
+    base, cfg_path = build("oom")
+    from inconsistencymasks_tpu import pipeline, workflows
+
+    real = workflows.PopulationTrainer
+    state = {"failed": False, "pops": []}
+
+    class OOMOnce(real):
+        def fit(self, *a, **k):
+            state["pops"].append(self.population)
+            if self.population > 1 and not state["failed"]:
+                state["failed"] = True
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Out of memory while trying to "
+                    "allocate 23.1GiB")
+            return real.fit(self, *a, **k)
+
+    monkeypatch.setattr(workflows, "PopulationTrainer", OOMOnce)
+    ad = pipeline.make_adapter("isic", cfg_path, runids=(1,),
+                               population_first=2, epochs=1, log=None)
+    pipeline.run_supervised_stage(ad, "subset", ad.train_labeled_dir)
+    # first attempt pop 2 OOMed, retries ran pop-1 chunks to completion
+    assert state["pops"][0] == 2 and set(state["pops"][1:]) == {1}
+    models = os.listdir(os.path.join(base, "models"))
+    assert sum("_topK_" in m for m in models) == 2
