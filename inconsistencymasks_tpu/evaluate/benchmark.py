@@ -133,17 +133,20 @@ def benchmark_multiclass(module, variables, images_ds: Dataset, *,
                                                  pad_final=True):
         probs = forward(variables, images)
         preds, pa, iou = postproc(probs, gts)
-        preds = np.asarray(preds)[skip:]
-        pas.extend(round(float(v), 4) for v in np.asarray(pa)[skip:])
+        pas_np = np.asarray(pa)[skip:]
+        pas.extend(round(float(v), 4) for v in pas_np)
         ious.extend(round(float(v), 4) for v in np.asarray(iou)[skip:])
         if create_images and pred_dir:
-            for i in range(preds.shape[0]):
+            # class-map download only when the PNGs are actually written
+            # (metrics are device scalars)
+            preds_np = np.asarray(preds)[skip:]
+            for i in range(preds_np.shape[0]):
                 name = images_ds.names[cursor + i]
-                imwrite_async(os.path.join(pred_dir, name), preds[i])
-                color = lut[preds[i]]                       # (H, W, 3) RGB
+                imwrite_async(os.path.join(pred_dir, name), preds_np[i])
+                color = lut[preds_np[i]]                    # (H, W, 3) RGB
                 imwrite_async(os.path.join(pred_dir, f"{name[:-4]}_color.png"),
                             cv2.cvtColor(color, cv2.COLOR_RGB2BGR))
-        cursor += preds.shape[0]
+        cursor += pas_np.shape[0]
 
     mpa = round(float(np.sum(pas) / len(pas)), 3)
     miou = round(float(np.sum(ious) / len(ious)), 3)

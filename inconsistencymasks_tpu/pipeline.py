@@ -777,7 +777,8 @@ def run_noisy_student_stage(ad: DatasetAdapter) -> None:
             else:
                 create_pseudo_labels_noisy_student_multiclass(
                     t_module, teacher, src, out,
-                    channels=c.image_channels, **kwargs)
+                    channels=c.image_channels,
+                    num_classes=c.num_classes, **kwargs)
             ad.copy_labeled_into(out)
             pending.append((modelname, out))
         # all of a generation's runid cells share the student width
@@ -971,6 +972,10 @@ def run_evalnet_datagen(ad: DatasetAdapter, runid: int,
     d = c.defaults
     teachers = _gather_candidate_models(ad, f"{ad.prefix}_subset_{runid}")
     module = ad.module()
+    # fresh tree: the writers APPEND to labels.csv, so a rerun after a
+    # mid-datagen crash must not duplicate rows
+    shutil.rmtree(os.path.join(ad.base_dir, evalnet_dir_tag,
+                               f"run_{runid}"), ignore_errors=True)
     train_main = os.path.join(ad.base_dir, evalnet_dir_tag, f"run_{runid}",
                               "train")
     val_main = os.path.join(ad.base_dir, evalnet_dir_tag, f"run_{runid}",
@@ -1006,6 +1011,32 @@ def run_evalnet_datagen(ad: DatasetAdapter, runid: int,
             val_main, d.num_loops_val, num_classes=c.num_classes,
             channels=c.image_channels)
     return train_main, val_main
+
+
+def evalnet_done(ad: DatasetAdapter, evalnet_name: str,
+                 single: bool = False) -> bool:
+    """Crash-resume for the on-the-fly EvalNet trainings (stages 10/12-16):
+    skip the datagen + training when the results CSV and the checkpoint
+    artifact (topK-1 for ensembles, the plain .h5 for singles) exist.
+    Disable with IM_NO_RESUME=1 (same knob as cell_done)."""
+    if os.environ.get("IM_NO_RESUME") == "1":
+        return False
+    import glob
+    ckpt = (os.path.join(ad.model_dir, f"{evalnet_name}.h5") if single
+            else ad.topk_path(evalnet_name, 1))
+    if single:
+        csv_ok = os.path.isfile(os.path.join(
+            ad.csv_dir, f"results_{evalnet_name}.csv"))
+    else:
+        # ensemble CSVs carry the reference's last-candidate naming quirk
+        # (results_{evalnet_name}_{population-1}.csv, see
+        # train_evalnet_population)
+        csv_ok = bool(glob.glob(os.path.join(
+            ad.csv_dir, f"results_{evalnet_name}_*.csv")))
+    done = csv_ok and os.path.isfile(ckpt)
+    if done and ad.log:
+        ad.log(f"[resume] skipping completed evalnet {evalnet_name}")
+    return done
 
 
 def _min_clamped_steps(ad: DatasetAdapter, pseudo_main: str,
@@ -1052,11 +1083,15 @@ def run_evalnet_segnet_stage(ad: DatasetAdapter,
 
     for runid in ad.runids:
         evalnet_name = f"{ad.prefix}_{ev_base}_{runid}"
-        if train_new_evalnet:
+        if train_new_evalnet and not evalnet_done(
+                ad, evalnet_name, single=(variant == "single")):
             # datagen from the 10 subset candidates (pred masks ___i);
             # HeLa's datagen tree lives under 'evalnet_miou_ensemble'
             # (reference HeLa/10:52-53)
             tag = "evalnet_miou_ensemble" if ad.kind == "hela" else "evalnet"
+            # fresh tree (labels.csv is append-mode; see run_evalnet_datagen)
+            shutil.rmtree(os.path.join(ad.base_dir, tag, f"run_{runid}"),
+                          ignore_errors=True)
             train_main = os.path.join(ad.base_dir, tag,
                                       f"run_{runid}", "train")
             val_main = os.path.join(ad.base_dir, tag,
@@ -1222,6 +1257,8 @@ def run_im_plus_plus_stage(ad: DatasetAdapter,
     if not use_gt_oracle and train_new_evalnet:
         for runid in ad.runids:
             evalnet_name = f"{ad.prefix}_{evalnet_tag}_{runid}"
+            if evalnet_done(ad, evalnet_name):
+                continue
             train_main, val_main = run_evalnet_datagen(ad, runid,
                                                        evalnet_tag)
             train_evalnet_population(ad, evalnet_name, train_main,

@@ -189,8 +189,22 @@ def _finish_cell(*, kind, cfg, module, val_ds, test_ds, unlabeled_ds,
                  class_to_color, write_csv, create_pred_images, log
                  ) -> GridCellResult:
     """Post-training half of a grid cell: benchmark each candidate on
-    val/test/unlabeled, save, rank, topK-rename, CSV (reference 03:82-106)."""
+    val/test/unlabeled, save, rank, topK-rename, CSV (reference 03:82-106).
+
+    ``IM_PRED_SPLITS`` (comma list of val/test/unlabeled) restricts which
+    splits dump prediction PNGs: metrics are device scalars, so skipping a
+    split's dump skips its packed-mask download (~8 KB/image over the
+    ~1 MB/s relay) and its PNG encodes.  Only the UNLABELED split's dumps
+    are consumed downstream (stage-10 candidate dirs); val/test dumps are
+    inspection artifacts — default writes all three (reference parity)."""
     d = cfg.defaults
+    allowed = os.environ.get("IM_PRED_SPLITS")
+    allowed = (None if allowed is None
+               else {s.strip() for s in allowed.split(",")})
+
+    def want(split):
+        return create_pred_images and (allowed is None or split in allowed)
+
     rows = []
     for i, variables in enumerate(best):
         mn = f"{modelname}_{i}"
@@ -203,7 +217,7 @@ def _finish_cell(*, kind, cfg, module, val_ds, test_ds, unlabeled_ds,
                 miou, dice = benchmark_binary(
                     module, variables, ds,
                     pred_dir=pred_dir_fn(split, mn),
-                    create_images=create_pred_images)
+                    create_images=want(split))
                 r.append((miou, dice))
             mious, dices = zip(*r[1:])
             rows.append((mn, *mious, *dices))
@@ -214,7 +228,7 @@ def _finish_cell(*, kind, cfg, module, val_ds, test_ds, unlabeled_ds,
                 r.append(benchmark_hela(
                     module, variables, ds,
                     pred_dir=pred_dir_fn(split, mn),
-                    save_output=create_pred_images))
+                    save_output=want(split)))
             rows.append((mn, *r[1], *r[2], *r[3]))
         else:
             r = [mn]
@@ -224,7 +238,7 @@ def _finish_cell(*, kind, cfg, module, val_ds, test_ds, unlabeled_ds,
                     module, variables, ds, num_classes=cfg.num_classes,
                     class_to_color=class_to_color or {},
                     pred_dir=pred_dir_fn(split, mn),
-                    create_images=create_pred_images))
+                    create_images=want(split)))
             (mpa_v, miou_v), (mpa_t, miou_t), (mpa_u, miou_u) = r[1:]
             rows.append((mn, mpa_v, mpa_t, mpa_u, miou_v, miou_t, miou_u))
         if log:

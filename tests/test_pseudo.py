@@ -186,3 +186,43 @@ def test_im_binary_deterministic(tmp_path):
                         f.read()).hexdigest()
         outs.append(digest)
     assert outs[0] == outs[1]
+
+
+def test_noisy_student_multiclass_and_hela(tmp_path):
+    """Packed-download noisy-student writers: multiclass class maps are
+    nibble-packed (and survive values > background), HeLa emits the four
+    _aug-suffixed channel trees with redrawn position circles."""
+    from inconsistencymasks_tpu.data.synthetic import (make_hela_dataset,
+                                                       make_multiclass_dataset)
+    from inconsistencymasks_tpu.pseudo import (
+        create_pseudo_labels_noisy_student_hela,
+        create_pseudo_labels_noisy_student_multiclass)
+
+    make_multiclass_dataset(str(tmp_path / "mc"), num_classes=9, h=32, w=32,
+                            n_unlabeled=5)
+    m = UNet(num_classes=9, alpha=0.25, activation="relu",
+             out_activation="softmax")
+    models = unstack_variables(init_population(m, 32, 32, 3, 1), 1)
+    out = str(tmp_path / "mc_out")
+    create_pseudo_labels_noisy_student_multiclass(
+        m, models[0], str(tmp_path / "mc" / "train_unlabeled" / "images"),
+        out, num_classes=9, batch_size=2, max_noise=10)
+    names = list_pngs(os.path.join(out, "masks"))
+    assert len(names) == 5
+    for n in names:
+        u = np.unique(cv2.imread(os.path.join(out, "masks", n), 0))
+        assert u.max() < 9
+
+    make_hela_dataset(str(tmp_path / "hela"), h=32, w=32, n_unlabeled=4)
+    mh = UNet(num_classes=3, alpha=0.25, activation="relu",
+              out_activation="sigmoid")
+    hmodels = unstack_variables(init_population(mh, 32, 32, 1, 1), 1)
+    hout = str(tmp_path / "hela_out")
+    create_pseudo_labels_noisy_student_hela(
+        mh, hmodels[0],
+        str(tmp_path / "hela" / "train_unlabeled" / "brightfield"),
+        hout, batch_size=2, max_noise=10)
+    for chan in ("brightfield", "alive", "dead", "mod_position"):
+        names = list_pngs(os.path.join(hout, chan))
+        assert len(names) == 4 and all(n.endswith("_aug.png")
+                                       for n in names)

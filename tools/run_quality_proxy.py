@@ -15,11 +15,12 @@ trajectory to the EvalNet arm: 10 (evalnet ensemble + segnet), 12 (IM++),
 
 Usage:
     python tools/run_quality_proxy.py [stage ...]
-stages default to: build 02 03 04 09 11 12 10 13 14 collect
-Scale-down knobs are inherited from the environment (IM_RUNIDS defaults to
-"1" here — one runid instead of the reference's three — everything else
-reference-default: gens 0-4, reference per-script n grids, 10/5
-candidates, 50 epochs).
+stages default to: build 02 03 04 09 11 12 10 14 13 08 06 07 05 collect
+(priority order: the reference's headline strategies first).  Scale-down
+knobs are inherited from the environment (IM_RUNIDS defaults to "1" here —
+one runid instead of the reference's three; set IM_GENS=0,1,2 for a
+breadth-first pass — every stage resumes per cell, so a later run with
+the full IM_GENS=0,1,2,3,4 extends the trajectories in place).
 """
 
 import os
@@ -81,6 +82,11 @@ def build():
 def run_stage(num: str):
     env = dict(os.environ, IM_CONFIG=CFG)
     env.setdefault("IM_RUNIDS", "1")
+    # dump prediction PNGs only for the split downstream stages consume
+    # (stage-10 candidate dirs); val/test dumps are inspection artifacts
+    # whose packed-mask downloads would dominate benchmark wall-clock on
+    # this relay.  Unset/override to restore full reference dumps.
+    env.setdefault("IM_PRED_SPLITS", "unlabeled")
     script = os.path.join(REPO, "ISIC_2018", SCRIPTS[num])
     t0 = time.time()
     print(f"[{num}] {SCRIPTS[num]} starting", flush=True)
@@ -99,7 +105,8 @@ def collect():
 
 def main():
     stages = sys.argv[1:] or ["build", "02", "03", "04", "09", "11", "12",
-                              "10", "13", "14", "collect"]
+                              "10", "14", "13", "08", "06", "07", "05",
+                              "collect"]
     for s in stages:
         if s == "build":
             build()
