@@ -72,6 +72,148 @@ def _block_diag_kernel(stacked_kernel: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Pluggable stride-1 SAME conv implementations (layout-tax experiments,
+# ROADMAP.md round-3 #1).  The profiled pop-15 train step loses ~75 ms to
+# layout-transpose copies XLA inserts around the conv backward ops (conv
+# wgrad/dgrad instructions demand operand layouts the forward program does
+# not produce).  ``dot_general`` has no such instruction-level layout
+# contract on TPU — matmul operands are tile-relayout'd in VREGs — so
+# re-expressing convs (or just their backward) as dots can kill the copies:
+#
+#   IM_CONV_IMPL=conv        lax.conv_general_dilated (default)
+#   IM_CONV_IMPL=dot1x1      1x1 convs as dot_general (traffic-neutral:
+#                            a 1x1 conv IS a matmul; autodiff then derives
+#                            dot-based dgrad/wgrad for half the network)
+#   IM_CONV_IMPL=dot         every conv as sum of kh*kw shifted dots
+#                            (kxk pays kh*kw x operand re-reads)
+#   IM_CONV_IMPL=convdotbwd  conv forward, custom-vjp dot dgrad+wgrad
+#   IM_CONV_WGRAD_DOT=1      composable: conv forward+dgrad, dot wgrad
+# ---------------------------------------------------------------------------
+
+_CONV_IMPL = os.environ.get("IM_CONV_IMPL", "conv")
+_WGRAD_DOT = os.environ.get("IM_CONV_WGRAD_DOT", "0") == "1"
+
+
+def _same_pads(k: int):
+    """XLA SAME padding at stride 1: total k-1, split lo=(k-1)//2."""
+    lo = (k - 1) // 2
+    return lo, k - 1 - lo
+
+
+def _conv_plain(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _conv_dots(x, w):
+    """Stride-1 SAME conv as a sum of kh*kw channel-contracting dots."""
+    bsz, h, wd, cin = x.shape
+    kh, kw, _, cout = w.shape
+    if kh == 1 and kw == 1:
+        y = jax.lax.dot_general(x, w[0, 0], (((3,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+    plo_h, phi_h = _same_pads(kh)
+    plo_w, phi_w = _same_pads(kw)
+    xp = jnp.pad(x, ((0, 0), (plo_h, phi_h), (plo_w, phi_w), (0, 0)))
+    acc = None
+    for i in range(kh):
+        for j in range(kw):
+            xs = jax.lax.slice(xp, (0, i, j, 0),
+                               (bsz, i + h, j + wd, cin))
+            t = jax.lax.dot_general(xs, w[i, j], (((3,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    return acc.astype(x.dtype)
+
+
+def _dgrad_dots(g, w):
+    """dx for the stride-1 SAME conv, as shifted dots with w^T taps."""
+    bsz, h, wd, cout = g.shape
+    kh, kw, cin, _ = w.shape
+    if kh == 1 and kw == 1:
+        dx = jax.lax.dot_general(g, w[0, 0].T, (((3,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return dx.astype(g.dtype)
+    plo_h, phi_h = _same_pads(kh)
+    plo_w, phi_w = _same_pads(kw)
+    # dx[m] = sum_i dy[m - i + lo] w[i]^T: pad g by (hi, lo) per spatial
+    # dim, tap offset (k-1-i) — the spatially flipped kernel, as in the
+    # textbook transpose conv.
+    gp = jnp.pad(g, ((0, 0), (phi_h, plo_h), (phi_w, plo_w), (0, 0)))
+    acc = None
+    for i in range(kh):
+        for j in range(kw):
+            gs = jax.lax.slice(gp, (0, kh - 1 - i, kw - 1 - j, 0),
+                               (bsz, kh - 1 - i + h, kw - 1 - j + wd, cout))
+            t = jax.lax.dot_general(gs, w[i, j].T, (((3,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    return acc.astype(g.dtype)
+
+
+def _wgrad_dots(x, g, kh, kw):
+    """dw for the stride-1 SAME conv: per tap, a (Ci,Co) dot contracting
+    (B,H,W).  Outputs are tiny so the f32 partials are free; the operands
+    are read in their native layout (no conv-wgrad layout contract)."""
+    bsz, h, wd, cin = x.shape
+    plo_h, phi_h = _same_pads(kh)
+    plo_w, phi_w = _same_pads(kw)
+    if kh == 1 and kw == 1:
+        dw = jax.lax.dot_general(x, g, (((0, 1, 2), (0, 1, 2)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return dw[None, None]
+    xp = jnp.pad(x, ((0, 0), (plo_h, phi_h), (plo_w, phi_w), (0, 0)))
+    taps = []
+    for i in range(kh):
+        row = []
+        for j in range(kw):
+            xs = jax.lax.slice(xp, (0, i, j, 0),
+                               (bsz, i + h, j + wd, cin))
+            row.append(jax.lax.dot_general(
+                xs, g, (((0, 1, 2), (0, 1, 2)), ((), ())),
+                preferred_element_type=jnp.float32))
+        taps.append(jnp.stack(row))
+    return jnp.stack(taps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_custom(x, w, mode):
+    return _conv_plain(x, w)
+
+
+def _conv_custom_fwd(x, w, mode):
+    return _conv_plain(x, w), (x, w)
+
+
+def _conv_custom_bwd(mode, res, g):
+    x, w = res
+    kh, kw = w.shape[0], w.shape[1]
+    if mode == "convdotbwd":
+        dx = _dgrad_dots(g, w)
+    else:  # wgrad-only: reuse XLA's native conv dgrad
+        dx = jax.vjp(lambda xx: _conv_plain(xx, w), x)[1](g)[0]
+    dw = _wgrad_dots(x, g, kh, kw).astype(w.dtype)
+    return dx, dw
+
+
+_conv_custom.defvjp(_conv_custom_fwd, _conv_custom_bwd)
+
+
+def _conv2d_same(x, w):
+    """Dispatch a stride-1 SAME NHWC conv to the configured impl."""
+    kh, kw = w.shape[0], w.shape[1]
+    impl = _CONV_IMPL
+    if impl == "dot" or (impl == "dot1x1" and kh == 1 and kw == 1):
+        return _conv_dots(x, w)
+    if impl == "convdotbwd":
+        return _conv_custom(x, w, "convdotbwd")
+    if _WGRAD_DOT:
+        return _conv_custom(x, w, "wgraddot")
+    return _conv_plain(x, w)
+
+
 def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int
                   ) -> jnp.ndarray:
     """x (B,H,W,P*Cin) packed; conv_p['kernel'] (P,kh,kw,Cin,Cout).
@@ -87,9 +229,7 @@ def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int
         w = _block_diag_kernel(kernel[m:m + g].astype(dt))
         b = bias[m:m + g].reshape(-1).astype(dt)
         xg = x[..., m * cin:(m + g) * cin]
-        y = jax.lax.conv_general_dilated(
-            xg, w, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = _conv2d_same(xg, w)
         outs.append(act(y + b))
         m += g
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
@@ -98,6 +238,17 @@ def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int
 _BN_BF16 = os.environ.get("IM_BN_BF16", "0") == "1"
 _POOL_EQMASK = os.environ.get("IM_POOL_EQMASK", "0") == "1"
 _POOL_RESHAPE = os.environ.get("IM_POOL_RESHAPE", "0") == "1"
+_POOL_SLICE = os.environ.get("IM_POOL_SLICE", "0") == "1"
+
+
+def _maxpool2_slice(x):
+    """2x2/2 max-pool as four strided slices + elementwise max: no
+    reduce_window (forward) and no select_and_scatter (backward — max's
+    VJP is a select; the slice transposes are interior pads).  Both
+    directions stay in the conv ops' C-minor layout family."""
+    a = jnp.maximum(x[:, ::2, ::2], x[:, 1::2, ::2])
+    b = jnp.maximum(x[:, ::2, 1::2], x[:, 1::2, 1::2])
+    return jnp.maximum(a, b)
 
 
 def _maxpool2_reshape(x):
@@ -243,6 +394,8 @@ def packed_unet_apply(stacked_variables: Any, images: jnp.ndarray, *,
         return out
 
     def pool(x):
+        if _POOL_SLICE:
+            return _maxpool2_slice(x)
         if _POOL_RESHAPE:
             return _maxpool2_reshape(x)
         # scalar -inf init (any dtype): keeps the reduce_window on the

@@ -178,6 +178,16 @@ def _fused_im_multiclass(probs, erode_kernel, dilate_kernel,
     return pred, bitpack.packbits2d(hole), out.im_size, present
 
 
+@partial(jax.jit, static_argnames=("num_classes",))
+def _classmaps_present(probs, num_classes):
+    """Argmax class maps + per-model class-presence table (the two
+    pieces the Pallas multiclass kernel leaves to XLA)."""
+    class_maps = im_core.probs_to_class_maps(probs)
+    present = jax.vmap(lambda cm: jax.nn.one_hot(
+        cm, num_classes, dtype=jnp.int32).sum(axis=(1, 2)) > 0)(class_maps)
+    return class_maps, present
+
+
 @flushes_writes
 def create_pseudo_labels_im_multiclass(
         module, models: Sequence, images_dir: str, main_output_path: str, *,
@@ -189,6 +199,7 @@ def create_pseudo_labels_im_multiclass(
     """SUIM/Cityscapes IM generation (reference functions.py:2988-3070)."""
     ens = ensemble or StackedEnsemble(module, models)
     ds = load_images(images_dir, channels)
+    use_pallas = os.environ.get("IM_PALLAS", "0") == "1"
 
     for sub in ("images", "masks", "im"):
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
@@ -201,9 +212,18 @@ def create_pseudo_labels_im_multiclass(
         valid = min(batch_size, n_total - cursor)
         images_j = jnp.asarray(images)
         probs = ens.predict_probs(images_j)
-        pred, hole_bits, im_size, present = _fused_im_multiclass(
-            probs, erode_kernel, dilate_kernel, num_classes,
-            block_output)
+        if use_pallas:
+            from ..ops.pallas import im_postproc
+            class_maps, present = _classmaps_present(probs, num_classes)
+            pred, hole2d, im_size = \
+                im_postproc.fused_im_postprocess_multiclass(
+                    class_maps, erode_kernel, dilate_kernel,
+                    num_classes=num_classes, block_output=block_output)
+            hole_bits = bitpack.packbits2d_jit(hole2d)
+        else:
+            pred, hole_bits, im_size, present = _fused_im_multiclass(
+                probs, erode_kernel, dilate_kernel, num_classes,
+                block_output)
         pred = np.asarray(pred)
         hole = bitpack.unpackbits2d(np.asarray(hole_bits), width)
         im_size, present = np.asarray(im_size), np.asarray(present)
@@ -264,6 +284,7 @@ def create_pseudo_labels_im_hela(
     per-channel IM on device; position-circle redraw on host (contours)."""
     ens = ensemble or StackedEnsemble(module, models)
     ds = load_images(images_dir, 1)
+    use_pallas = os.environ.get("IM_PALLAS", "0") == "1"
 
     for sub in ("brightfield", "alive", "dead", "mod_position", "im"):
         os.makedirs(os.path.join(main_output_path, sub), exist_ok=True)
@@ -275,8 +296,15 @@ def create_pseudo_labels_im_hela(
         valid = min(batch_size, n_total - cursor)
         images_j = jnp.asarray(images)
         probs = ens.predict_probs(images_j)
-        plane_bits, im_size = _fused_im_hela(
-            probs, images_j, threshold, erode_kernel, dilate_kernel)
+        if use_pallas:
+            from ..ops.pallas import im_postproc
+            planes_u8, im_size = im_postproc.fused_im_postprocess_hela(
+                probs, threshold, erode_kernel=erode_kernel,
+                dilate_kernel=dilate_kernel)
+            plane_bits = bitpack.packbits2d_jit(planes_u8)
+        else:
+            plane_bits, im_size = _fused_im_hela(
+                probs, images_j, threshold, erode_kernel, dilate_kernel)
         planes = bitpack.unpackbits2d(np.asarray(plane_bits),
                                       ds.images.shape[2]) * np.uint8(255)
         alive, dead, pos_raw, im = (planes[:, 0], planes[:, 1],

@@ -1,0 +1,115 @@
+"""Sweep the conv/pool layout-experiment knobs on the real TPU
+(models/packed_unet.py, ROADMAP round-3 #1: the ~75 ms/step backward
+layout-transpose tax at pop 15).
+
+Per variant: mutate the packed_unet module knobs, build a FRESH jitted
+grad step (the knobs are read at trace time, so a new jit is required),
+chain-time it like tools/bisect_train_step.py (data-dependent call chain
+fenced by one scalar fetch; slope between a 4- and a 16-chain removes the
+fence cost).  Each variant is a distinct program — expect one multi-minute
+remote compile each, cached per process.
+
+Usage:
+    python tools/bench_layout_variants.py [variant ...]
+Default sweep order is cheapest-risk first; POP/WIDTH env as in
+bisect_train_step.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from inconsistencymasks_tpu.models import packed_unet as pu
+from inconsistencymasks_tpu.models.unet import UNet
+from inconsistencymasks_tpu.train.population import init_population
+
+POP = int(os.environ.get("POP", 15))
+BATCH, HW = 32, 256
+WIDTH = int(os.environ.get("WIDTH", 128))
+
+VARIANTS = {
+    "baseline": {},
+    "dot1x1": {"_CONV_IMPL": "dot1x1"},
+    "wgraddot": {"_WGRAD_DOT": True},
+    "dot1x1+wgraddot": {"_CONV_IMPL": "dot1x1", "_WGRAD_DOT": True},
+    "convdotbwd": {"_CONV_IMPL": "convdotbwd"},
+    "dot": {"_CONV_IMPL": "dot"},
+    "pool_slice": {"_POOL_SLICE": True},
+    "dot1x1+pool_slice": {"_CONV_IMPL": "dot1x1", "_POOL_SLICE": True},
+}
+DEFAULTS = {"_CONV_IMPL": "conv", "_WGRAD_DOT": False, "_POOL_SLICE": False,
+            "_POOL_RESHAPE": False, "_POOL_EQMASK": False}
+
+
+def chain_time(fn, state, images, n1=4, n2=16):
+    s = state
+    for _ in range(2):
+        s = fn(s, images)
+    float(jnp.sum(jax.tree.leaves(s)[0]))
+    out = {}
+    for n in (n1, n2):
+        t0 = time.time()
+        for _ in range(n):
+            s = fn(s, images)
+        float(jnp.sum(jax.tree.leaves(s)[0]))
+        out[n] = time.time() - t0
+    return (out[n2] - out[n1]) / (n2 - n1)
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    m = UNet(num_classes=1, alpha=0.5)
+    stacked = init_population(m, HW, HW, 3, POP, base_seed=3)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, (BATCH, HW, HW, 3),
+                                     dtype=np.uint8))
+    targets = jnp.asarray((rng.rand(POP, BATCH, HW, HW, 1) > 0.5)
+                          .astype(np.float32))
+    kw = dict(num_classes=1, activation="relu", out_activation="sigmoid",
+              max_packed_width=WIDTH, compute_dtype=jnp.bfloat16)
+
+    results = {}
+    for name in names:
+        knobs = {**DEFAULTS, **VARIANTS[name]}
+        for k, v in knobs.items():
+            setattr(pu, k, v)
+
+        @jax.jit
+        def grad_step(carry, images):
+            def loss_fn(params):
+                probs, new_bs = pu.packed_unet_apply(
+                    {"params": params,
+                     "batch_stats": carry["v"]["batch_stats"]},
+                    images, train=True, **kw)
+                return jnp.mean(jnp.square(probs - targets)), new_bs
+
+            (l, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(carry["v"]["params"])
+            params = jax.tree.map(lambda p, g: p - 1e-9 * g,
+                                  carry["v"]["params"], grads)
+            return dict(v=dict(params=params, batch_stats=new_bs),
+                        t=carry["t"] + l)
+
+        carry0 = {"v": jax.tree.map(jnp.array, stacked),
+                  "t": jnp.zeros(())}
+        t0 = time.time()
+        per = chain_time(grad_step, carry0, images)
+        results[name] = per
+        print(f"{name:20s}: {per * 1000:7.1f} ms/step   "
+              f"(incl. compile wall {time.time() - t0:.0f}s)", flush=True)
+
+    for k, v in DEFAULTS.items():
+        setattr(pu, k, v)
+    best = min(results, key=results.get)
+    print(f"\nbest: {best} at {results[best] * 1000:.1f} ms "
+          f"(baseline {results.get('baseline', float('nan')) * 1000:.1f})")
+
+
+if __name__ == "__main__":
+    main()
