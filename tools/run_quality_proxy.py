@@ -29,7 +29,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BASE = os.environ.get("IM_QUALITY_BASE", "/tmp/im_quality_r3")
+# Default base lives INSIDE the repo (gitignored): /tmp is wiped on VM
+# restarts, which round 3 learned the hard way — a wipe loses every
+# cell_done resume marker and forces the multi-hour run back to zero.
+BASE = os.environ.get("IM_QUALITY_BASE",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".quality_r3"))
 ISIC = os.path.join(BASE, "ISIC_2018") + os.sep
 CFG = os.path.join(BASE, "config.ini")
 
