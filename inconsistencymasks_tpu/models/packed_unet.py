@@ -81,17 +81,24 @@ def _block_diag_kernel(stacked_kernel: jnp.ndarray) -> jnp.ndarray:
 # contract on TPU — matmul operands are tile-relayout'd in VREGs — so
 # re-expressing convs (or just their backward) as dots can kill the copies:
 #
-#   IM_CONV_IMPL=conv        lax.conv_general_dilated (default)
+#   IM_CONV_IMPL=conv        lax.conv_general_dilated
 #   IM_CONV_IMPL=dot1x1      1x1 convs as dot_general (traffic-neutral:
 #                            a 1x1 conv IS a matmul; autodiff then derives
-#                            dot-based dgrad/wgrad for half the network)
+#                            dot-based dgrad/wgrad for half the network).
+#                            DEFAULT since the round-3 sweep
+#                            (tools/bench_layout_variants.py, v5e-1,
+#                            pop 15 / 256^2 / b32): 182.3 ms/step vs
+#                            conv's 208.4 — every other variant is worse
+#                            (wgraddot 239.0, dot1x1+wgraddot 210.8,
+#                            convdotbwd 313.4, dot 343.6, pool_slice
+#                            230.2, dot1x1+pool_slice 209.8).
 #   IM_CONV_IMPL=dot         every conv as sum of kh*kw shifted dots
 #                            (kxk pays kh*kw x operand re-reads)
 #   IM_CONV_IMPL=convdotbwd  conv forward, custom-vjp dot dgrad+wgrad
 #   IM_CONV_WGRAD_DOT=1      composable: conv forward+dgrad, dot wgrad
 # ---------------------------------------------------------------------------
 
-_CONV_IMPL = os.environ.get("IM_CONV_IMPL", "conv")
+_CONV_IMPL = os.environ.get("IM_CONV_IMPL", "dot1x1")
 _WGRAD_DOT = os.environ.get("IM_CONV_WGRAD_DOT", "0") == "1"
 
 
