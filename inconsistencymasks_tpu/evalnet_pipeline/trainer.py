@@ -49,6 +49,9 @@ class EvalNetTrainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
         self._eval_step = jax.jit(self._eval_step_impl)
         self._select = jax.jit(self._select_impl, donate_argnums=0)
+        self._train_gather = jax.jit(self._train_gather_impl,
+                                     donate_argnums=0)
+        self._eval_gather = jax.jit(self._eval_gather_impl)
 
     # ------------------------------------------------------------- internals
 
@@ -124,6 +127,33 @@ class EvalNetTrainer:
                                           state["best_batch_stats"]),
             best_metric=jnp.where(better, metric, state["best_metric"]))
 
+    def _train_gather_impl(self, state, idx, images, masks, iou, det):
+        """One train step on device-resident data: ``idx`` is (P, B)
+        int32 into the uploaded split.  The per-batch host->device
+        uploads of the original path cost ~40 MB/step on this relay
+        (~25 MB/s host->device, CLAUDE.md) — 2600-image EvalNet epochs
+        measured 300-800 s; device gather makes them compute-bound."""
+        return self._train_step_impl(state, images[idx], masks[idx],
+                                     iou[idx], det[idx])
+
+    def _eval_gather_impl(self, params, batch_stats, idx, images, masks,
+                          iou, det, acc):
+        return self._eval_step_impl(params, batch_stats, images[idx],
+                                    masks[idx], iou[idx], det[idx], acc)
+
+    def _dev_arrays(self, ds: EvalNetDataset):
+        """Upload the split ONCE (cache keyed on the host array identity,
+        like data.loader.device_eval_batches); detection defaults to a
+        zero column so the gathered pytree keeps one structure."""
+        if getattr(ds, "_evt_dev_key", None) is not ds.images:
+            det = (ds.detection if ds.detection is not None
+                   else np.zeros((len(ds), 1), np.float32))
+            ds._evt_dev = (jnp.asarray(ds.images), jnp.asarray(ds.masks),
+                           jnp.asarray(ds.labels, jnp.float32),
+                           jnp.asarray(det, jnp.float32))
+            ds._evt_dev_key = ds.images
+        return ds._evt_dev
+
     # ------------------------------------------------------------------- API
 
     def _batch_arrays(self, ds: EvalNetDataset, idx: np.ndarray):
@@ -156,12 +186,13 @@ class EvalNetTrainer:
         n = len(val_ds)
         if n < batch_size:
             batch_size = n
+        dev = self._dev_arrays(val_ds)
         for start in range(0, n - batch_size + 1, batch_size):
-            idx = np.arange(start, start + batch_size)
-            imgs, masks, iou, det = self._batch_arrays(val_ds, idx)
-            acc = self._eval_step(self.state["params"],
-                                  self.state["batch_stats"],
-                                  imgs, masks, iou, det, acc)
+            idx = jnp.asarray(np.arange(start, start + batch_size,
+                                        dtype=np.int32))
+            acc = self._eval_gather(self.state["params"],
+                                    self.state["batch_stats"],
+                                    idx, *dev, acc)
         return np.asarray(acc["sum"] / jnp.maximum(acc["count"], 1))
 
     def fit(self, train_ds: EvalNetDataset, val_ds: EvalNetDataset, *,
@@ -175,24 +206,19 @@ class EvalNetTrainer:
         ncols = len(self.metric_names)
         self.best_rows = np.full((self.population, ncols), np.inf)
         history = []
+        dev = self._dev_arrays(train_ds)
         for epoch in range(epochs):
             t0 = time.time()
             for _ in range(steps):
-                per_model_batches = []
+                pidx = np.empty((self.population, batch_size), np.int32)
                 for p in range(self.population):
                     if cursors[p] + batch_size > len(train_ds):
                         orders[p] = rngs[p].permutation(len(train_ds))
                         cursors[p] = 0
-                    idx = orders[p][cursors[p]:cursors[p] + batch_size]
+                    pidx[p] = orders[p][cursors[p]:cursors[p] + batch_size]
                     cursors[p] += batch_size
-                    per_model_batches.append(self._batch_arrays(train_ds,
-                                                                idx))
-                imgs = jnp.stack([b[0] for b in per_model_batches])
-                masks = jnp.stack([b[1] for b in per_model_batches])
-                iou = jnp.stack([b[2] for b in per_model_batches])
-                det = jnp.stack([b[3] for b in per_model_batches])
-                self.state, _ = self._train_step(self.state, imgs, masks,
-                                                 iou, det)
+                self.state, _ = self._train_gather(
+                    self.state, jnp.asarray(pidx), *dev)
             rows = self.evaluate(val_ds, batch_size)
             metric = rows[:, self._MONITOR_COL[self.two_head]]
             improved = metric < np.asarray(self.state["best_metric"])

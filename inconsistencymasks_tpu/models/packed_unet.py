@@ -212,7 +212,16 @@ def _conv2d_same(x, w):
     """Dispatch a stride-1 SAME NHWC conv to the configured impl."""
     kh, kw = w.shape[0], w.shape[1]
     impl = _CONV_IMPL
-    if impl == "dot" or (impl == "dot1x1" and kh == 1 and kw == 1):
+    if impl in ("dot", "pallas") or (impl == "dot1x1"
+                                     and kh == 1 and kw == 1):
+        if impl == "pallas" and kh == 3 and kw == 3:
+            # Pallas matmul conv with custom dgrad/wgrad kernels — the
+            # no-layout-contract path (ops/pallas/conv3x3.py); 1x1s take
+            # the dot1x1 route below, other kxk fall back to XLA conv
+            from ..ops.pallas.conv3x3 import conv3x3_same
+            return conv3x3_same(x, w)
+        if impl == "pallas" and not (kh == 1 and kw == 1):
+            return _conv_plain(x, w)
         return _conv_dots(x, w)
     if impl == "convdotbwd":
         return _conv_custom(x, w, "convdotbwd")
