@@ -42,6 +42,7 @@ VARIANTS = {
     "dot": {"_CONV_IMPL": "dot"},
     "pool_slice": {"_POOL_SLICE": True},
     "dot1x1+pool_slice": {"_CONV_IMPL": "dot1x1", "_POOL_SLICE": True},
+    "pallas": {"_CONV_IMPL": "pallas"},
 }
 DEFAULTS = {"_CONV_IMPL": "conv", "_WGRAD_DOT": False, "_POOL_SLICE": False,
             "_POOL_RESHAPE": False, "_POOL_EQMASK": False}
