@@ -198,6 +198,9 @@ class EvalNetTrainer:
     def fit(self, train_ds: EvalNetDataset, val_ds: EvalNetDataset, *,
             epochs: int, batch_size: int, seed: int = 42,
             log=print) -> np.ndarray:
+        # a split smaller than the batch still trains at ONE fixed shape:
+        # clamp so the wrap-around reshuffle always has a full slice left
+        batch_size = min(batch_size, len(train_ds))
         steps = max(len(train_ds) // batch_size, 1)
         rngs = [np.random.RandomState(seed + 1000 * p)
                 for p in range(self.population)]

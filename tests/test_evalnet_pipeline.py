@@ -213,3 +213,24 @@ def test_hela_checkpoint_miou_datagen_no_pos(tmp_path):
     with open(os.path.join(out, "labels.csv")) as f:
         rows = list(csv.reader(f, delimiter=";"))
     assert len(rows) == 3 and all(len(r) == 5 for r in rows)  # i!=0: no GT
+
+
+def test_fit_smaller_than_batch():
+    """A train split smaller than batch_size must clamp, not crash: the
+    wrap-around reshuffle in EvalNetTrainer.fit slices a full batch from
+    the fresh permutation (regression: ValueError broadcast (N,)->(B,))."""
+    from inconsistencymasks_tpu.evalnet_pipeline.dataset import EvalNetDataset
+
+    rng = np.random.RandomState(0)
+    n = 5
+    ds = EvalNetDataset(
+        images=rng.randint(0, 256, (n, 64, 64, 3), dtype=np.uint8),
+        masks=rng.randint(0, 2, (n, 64, 64, 1), dtype=np.uint8) * 255,
+        labels=rng.rand(n).astype(np.float32))
+    ev = EvalNet(alpha=0.25, activation="relu")
+    ev_vars = init_population_evalnet(ev, 64, 64, 3, 1, population=2,
+                                      identical=True)
+    trainer = EvalNetTrainer(ev, ev_vars, two_head=False,
+                             learning_rate=3e-3, weight_decay=1e-4)
+    trainer.fit(ds, ds, epochs=2, batch_size=32, log=None)
+    assert np.all(np.isfinite(trainer.best_metrics()))
