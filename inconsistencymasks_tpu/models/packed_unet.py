@@ -212,6 +212,10 @@ def _conv2d_same(x, w):
     """Dispatch a stride-1 SAME NHWC conv to the configured impl."""
     kh, kw = w.shape[0], w.shape[1]
     impl = _CONV_IMPL
+    if impl == "pallasfused":
+        # non-fusable convs under pallasfused take the dot1x1 route
+        # (the fused 3x3+bias+relu dispatch lives in _conv_grouped)
+        impl = "dot1x1"
     if impl in ("dot", "pallas") or (impl == "dot1x1"
                                      and kh == 1 and kw == 1):
         if impl == "pallas" and kh == 3 and kw == 3:
@@ -230,14 +234,16 @@ def _conv2d_same(x, w):
     return _conv_plain(x, w)
 
 
-def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int
-                  ) -> jnp.ndarray:
+def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int,
+                  act_name: Optional[str] = None) -> jnp.ndarray:
     """x (B,H,W,P*Cin) packed; conv_p['kernel'] (P,kh,kw,Cin,Cout).
     Runs the P models' convs as group-packed block-diagonal convs and
     returns the packed (B,H,W,P*Cout) activations."""
     kernel = conv_p["kernel"]
     bias = conv_p["bias"]
     p, kh, kw, cin, cout = kernel.shape
+    fused = (_CONV_IMPL == "pallasfused" and kh == 3 and kw == 3
+             and act_name == "relu")
     sizes = _group_sizes(p, max(cin, cout), target)
     outs = []
     m = 0
@@ -245,8 +251,14 @@ def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int
         w = _block_diag_kernel(kernel[m:m + g].astype(dt))
         b = bias[m:m + g].reshape(-1).astype(dt)
         xg = x[..., m * cin:(m + g) * cin]
-        y = _conv2d_same(xg, w)
-        outs.append(act(y + b))
+        if fused:
+            # conv+bias+relu in one Pallas kernel, fused custom backward
+            # (ops/pallas/fused_block.py)
+            from ..ops.pallas.fused_block import conv3x3_bias_relu
+            outs.append(conv3x3_bias_relu(xg, w, b))
+        else:
+            y = _conv2d_same(xg, w)
+            outs.append(act(y + b))
         m += g
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
@@ -435,27 +447,27 @@ def packed_unet_apply(stacked_variables: Any, images: jnp.ndarray, *,
     x0 = x0.astype(jnp.float32) / 255.0
     x = x0.astype(dt)
 
-    x = _conv_grouped(x, seq.conv(), act, dt, target)
+    x = _conv_grouped(x, seq.conv(), act, dt, target, activation)
     state = bn(x)
 
     skips = []
     for _ in range(4):                       # encoder blocks
-        state = _conv_grouped(state, seq.conv(), act, dt, target)
-        state = _conv_grouped(state, seq.conv(), act, dt, target)
+        state = _conv_grouped(state, seq.conv(), act, dt, target, activation)
+        state = _conv_grouped(state, seq.conv(), act, dt, target, activation)
         state = bn(state)
         skips.append(state)
         state = pool(state)
 
-    state = _conv_grouped(state, seq.conv(), act, dt, target)  # bottleneck
-    state = _conv_grouped(state, seq.conv(), act, dt, target)
+    state = _conv_grouped(state, seq.conv(), act, dt, target, activation)  # bottleneck
+    state = _conv_grouped(state, seq.conv(), act, dt, target, activation)
     state = bn(state)
 
     for skip in reversed(skips):             # decoder blocks
         state = upsample_add(state, skip)
-        state = _conv_grouped(state, seq.conv(), act, dt, target)
+        state = _conv_grouped(state, seq.conv(), act, dt, target, activation)
         state = bn(state)
-        state = _conv_grouped(state, seq.conv(), act, dt, target)
-        state = _conv_grouped(state, seq.conv(), act, dt, target)
+        state = _conv_grouped(state, seq.conv(), act, dt, target, activation)
+        state = _conv_grouped(state, seq.conv(), act, dt, target, activation)
         state = bn(state)
 
     # ---- output head (f32), per-model
