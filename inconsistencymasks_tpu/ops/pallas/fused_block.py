@@ -92,9 +92,12 @@ def _halo_slab(top_ref, mid_ref, bot_ref, mask_ref=None):
     if mask_ref is not None:
         mt, mm, mb = mask_ref
         zero = jnp.zeros((), top.dtype)
-        top = jnp.where(mt[0] > 0, top, zero)
-        mid = jnp.where(mm[0] > 0, mid, zero)
-        bot = jnp.where(mb[0] > 0, bot, zero)
+        # compare in f32: Mosaic on this target rejects bf16 cmpf, and the
+        # upcast is exact for bf16
+        f32 = jnp.float32
+        top = jnp.where(mt[0].astype(f32) > 0, top, zero)
+        mid = jnp.where(mm[0].astype(f32) > 0, mid, zero)
+        bot = jnp.where(mb[0].astype(f32) > 0, bot, zero)
     top = jnp.where(i == 0, jnp.zeros_like(top), top)
     bot = jnp.where(i == last, jnp.zeros_like(bot), bot)
     return jnp.concatenate([top, mid, bot], axis=0)
@@ -156,7 +159,8 @@ def _wgrad_kernel(top_ref, mid_ref, bot_ref, g_ref, y_ref,
     wd = slab.shape[1]
     cout = g_ref.shape[3]
     acc_dt = jnp.float32
-    gz = jnp.where(y_ref[0] > 0, g_ref[0], jnp.zeros((), g_ref.dtype))
+    gz = jnp.where(y_ref[0].astype(jnp.float32) > 0, g_ref[0],
+                   jnp.zeros((), g_ref.dtype))
     gz2d = gz.reshape(rows * wd, cout)
     cols = _im2col(slab, rows)
 

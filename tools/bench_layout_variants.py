@@ -43,6 +43,7 @@ VARIANTS = {
     "pool_slice": {"_POOL_SLICE": True},
     "dot1x1+pool_slice": {"_CONV_IMPL": "dot1x1", "_POOL_SLICE": True},
     "pallas": {"_CONV_IMPL": "pallas"},
+    "pallasfused": {"_CONV_IMPL": "pallasfused"},
 }
 DEFAULTS = {"_CONV_IMPL": "conv", "_WGRAD_DOT": False, "_POOL_SLICE": False,
             "_POOL_RESHAPE": False, "_POOL_EQMASK": False}
