@@ -264,6 +264,7 @@ def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int,
 
 
 _BN_BF16 = os.environ.get("IM_BN_BF16", "0") == "1"
+_PACKED_HEAD = os.environ.get("IM_PACKED_HEAD", "0") == "1"
 _POOL_EQMASK = os.environ.get("IM_POOL_EQMASK", "0") == "1"
 _POOL_RESHAPE = os.environ.get("IM_POOL_RESHAPE", "0") == "1"
 _POOL_SLICE = os.environ.get("IM_POOL_SLICE", "0") == "1"
@@ -473,15 +474,34 @@ def packed_unet_apply(stacked_variables: Any, images: jnp.ndarray, *,
     # ---- output head (f32), per-model
     out_p = params["out"]
     c = out_p["kernel"].shape[-2]
-    outs = []
-    for i in range(p):
-        w = out_p["kernel"][i].astype(jnp.float32)
-        b = out_p["bias"][i].astype(jnp.float32)
-        y = jax.lax.conv_general_dilated(
-            state[..., i * c:(i + 1) * c].astype(jnp.float32), w, (1, 1),
-            "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
-        outs.append(out_act(y))
-    probs = jnp.stack(outs)
+    if _PACKED_HEAD:
+        # One block-diagonal f32 1x1 dot instead of P slice+conv pairs:
+        # the per-model loop slices the packed state at 8-channel offsets
+        # (never lane-tile-aligned for i*C % 128 != 0 -> a relayout copy
+        # per model, forward AND backward).  Same math — the off-diagonal
+        # blocks contribute exact f32 zeros.  The class axis is restored
+        # BEFORE out_act so softmax normalizes per model, not across the
+        # packed axis.  Flag-gated layout experiment (ROADMAP round-3 #1).
+        ncls = out_p["kernel"].shape[-1]
+        wbd = _block_diag_kernel(
+            out_p["kernel"].astype(jnp.float32))[0, 0]     # (P*C, P*ncls)
+        b = out_p["bias"].astype(jnp.float32).reshape(-1)
+        y = jax.lax.dot_general(
+            state.astype(jnp.float32), wbd, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b
+        bsz, hh, ww, _ = y.shape
+        y = y.reshape(bsz, hh, ww, p, ncls)
+        probs = out_act(jnp.moveaxis(y, 3, 0))
+    else:
+        outs = []
+        for i in range(p):
+            w = out_p["kernel"][i].astype(jnp.float32)
+            b = out_p["bias"][i].astype(jnp.float32)
+            y = jax.lax.conv_general_dilated(
+                state[..., i * c:(i + 1) * c].astype(jnp.float32), w, (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+            outs.append(out_act(y))
+        probs = jnp.stack(outs)
 
     if train:
         return probs, new_stats

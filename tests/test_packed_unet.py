@@ -42,3 +42,29 @@ def test_packed_multiclass(rng):
         stacked, x, num_classes=5, activation="relu",
         out_activation="softmax"))
     np.testing.assert_allclose(packed, ref, atol=3e-2)
+
+
+@pytest.mark.parametrize("ncls,out_act", [(1, "sigmoid"), (5, "softmax")])
+def test_packed_head_matches_loop(rng, monkeypatch, ncls, out_act):
+    """IM_PACKED_HEAD=1 (block-diagonal f32 head dot) == per-model head
+    loop — incl. softmax, which must normalize per model after unpack."""
+    from inconsistencymasks_tpu.models import packed_unet
+
+    p = 3
+    stacked = init_population(
+        UNet(num_classes=ncls, alpha=0.25, activation="relu",
+             out_activation=out_act), 32, 32, 3, p, base_seed=7)
+    x = jnp.asarray(rng.randint(0, 255, (2, 32, 32, 3)).astype(np.uint8))
+
+    def fwd():
+        return np.asarray(jax.jit(
+            lambda s, x: packed_unet.packed_unet_apply(
+                s, x, train=False, num_classes=ncls, activation="relu",
+                out_activation=out_act))(stacked, x))
+
+    monkeypatch.setattr(packed_unet, "_PACKED_HEAD", False)
+    ref = fwd()
+    monkeypatch.setattr(packed_unet, "_PACKED_HEAD", True)
+    got = fwd()
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-6)
