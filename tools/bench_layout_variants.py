@@ -44,9 +44,12 @@ VARIANTS = {
     "dot1x1+pool_slice": {"_CONV_IMPL": "dot1x1", "_POOL_SLICE": True},
     "pallas": {"_CONV_IMPL": "pallas"},
     "pallasfused": {"_CONV_IMPL": "pallasfused"},
+    "packedhead": {"_PACKED_HEAD": True},
+    "dot1x1+packedhead": {"_CONV_IMPL": "dot1x1", "_PACKED_HEAD": True},
 }
 DEFAULTS = {"_CONV_IMPL": "conv", "_WGRAD_DOT": False, "_POOL_SLICE": False,
-            "_POOL_RESHAPE": False, "_POOL_EQMASK": False}
+            "_POOL_RESHAPE": False, "_POOL_EQMASK": False,
+            "_PACKED_HEAD": False}
 
 
 def chain_time(fn, state, images, n1=4, n2=16):
