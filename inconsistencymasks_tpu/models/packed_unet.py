@@ -265,6 +265,7 @@ def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int,
 
 _BN_BF16 = os.environ.get("IM_BN_BF16", "0") == "1"
 _PACKED_HEAD = os.environ.get("IM_PACKED_HEAD", "0") == "1"
+_DENSE_INPUT = os.environ.get("IM_PACKED_INPUT_DENSE", "0") == "1"
 _POOL_EQMASK = os.environ.get("IM_POOL_EQMASK", "0") == "1"
 _POOL_RESHAPE = os.environ.get("IM_POOL_RESHAPE", "0") == "1"
 _POOL_SLICE = os.environ.get("IM_POOL_SLICE", "0") == "1"
@@ -441,15 +442,33 @@ def packed_unet_apply(stacked_variables: Any, images: jnp.ndarray, *,
 
     # ---- input block: per-model images pack on channels; a shared batch
     # is tiled P times (tiled input + block-diag == per-model conv)
-    if images.ndim == 5:
-        x0 = jnp.concatenate([images[i] for i in range(p)], axis=-1)
+    if (images.ndim == 4 and _DENSE_INPUT
+            and params["Conv_0"]["kernel"].shape[1:3] == (1, 1)):
+        # Layout experiment (IM_PACKED_INPUT_DENSE=1): every model sees the
+        # SAME image, so conv(tile(x), blockdiag(w)) == conv(x, concat(w))
+        # — one dense (Cin -> P*Cout) 1x1 dot on the raw Cin-channel batch
+        # instead of materializing the P-tiled f32 input (pop 15 at 256^2:
+        # a 377 MB HBM write per step).  Off-diagonal blocks of the
+        # block-diagonal form multiply exact copies of x by exact zeros, so
+        # the dense form is the same contraction over Cin.
+        conv_p = seq.conv()
+        kern = conv_p["kernel"]          # (P, 1, 1, Cin, Cout)
+        wd = jnp.concatenate([kern[i, 0, 0] for i in range(p)], axis=-1)
+        x = (images.astype(jnp.float32) / 255.0).astype(dt)
+        y = jax.lax.dot_general(x, wd.astype(dt), (((3,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y.astype(dt) + conv_p["bias"].reshape(-1).astype(dt)
+        state = bn(act(y))
     else:
-        x0 = jnp.tile(images, (1, 1, 1, p))
-    x0 = x0.astype(jnp.float32) / 255.0
-    x = x0.astype(dt)
+        if images.ndim == 5:
+            x0 = jnp.concatenate([images[i] for i in range(p)], axis=-1)
+        else:
+            x0 = jnp.tile(images, (1, 1, 1, p))
+        x0 = x0.astype(jnp.float32) / 255.0
+        x = x0.astype(dt)
 
-    x = _conv_grouped(x, seq.conv(), act, dt, target, activation)
-    state = bn(x)
+        x = _conv_grouped(x, seq.conv(), act, dt, target, activation)
+        state = bn(x)
 
     skips = []
     for _ in range(4):                       # encoder blocks

@@ -68,3 +68,47 @@ def test_packed_head_matches_loop(rng, monkeypatch, ncls, out_act):
     got = fwd()
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_dense_input_matches_tiled(rng, monkeypatch):
+    """IM_PACKED_INPUT_DENSE=1 (one dense Cin->P*Cout input dot on the raw
+    shared batch) == the tiled block-diagonal input conv: every model sees
+    the same image, so the off-diagonal blocks multiply copies of x by
+    exact zeros.  Gradients must match too (the input block feeds every
+    downstream layer)."""
+    from inconsistencymasks_tpu.models import packed_unet
+
+    p = 3
+    m = UNet(num_classes=1, alpha=0.25, activation="relu",
+             out_activation="sigmoid")
+    stacked = init_population(m, 32, 32, 3, p, base_seed=11)
+    x = jnp.asarray(rng.randint(0, 255, (2, 32, 32, 3)).astype(np.uint8))
+    tgt = jnp.asarray((rng.rand(p, 2, 32, 32, 1) > 0.5).astype(np.float32))
+
+    def fwd():
+        return np.asarray(jax.jit(
+            lambda s, x: packed_unet.packed_unet_apply(
+                s, x, train=False, num_classes=1, activation="relu",
+                out_activation="sigmoid"))(stacked, x))
+
+    def grads():
+        def loss(params):
+            probs, _ = packed_unet.packed_unet_apply(
+                {"params": params, "batch_stats": stacked["batch_stats"]},
+                x, train=True, num_classes=1, activation="relu",
+                out_activation="sigmoid")
+            return jnp.mean(jnp.square(probs - tgt))
+        return jax.jit(jax.grad(loss))(stacked["params"])
+
+    monkeypatch.setattr(packed_unet, "_DENSE_INPUT", False)
+    ref, gref = fwd(), grads()
+    monkeypatch.setattr(packed_unet, "_DENSE_INPUT", True)
+    got, ggot = fwd(), grads()
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    ra = jax.tree.leaves(gref)
+    rb = jax.tree.leaves(ggot)
+    assert len(ra) == len(rb)
+    for a, b in zip(ra, rb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)

@@ -46,10 +46,14 @@ VARIANTS = {
     "pallasfused": {"_CONV_IMPL": "pallasfused"},
     "packedhead": {"_PACKED_HEAD": True},
     "dot1x1+packedhead": {"_CONV_IMPL": "dot1x1", "_PACKED_HEAD": True},
+    "dot1x1+denseinput": {"_CONV_IMPL": "dot1x1", "_DENSE_INPUT": True},
+    "dot1x1+packedhead+denseinput": {"_CONV_IMPL": "dot1x1",
+                                     "_PACKED_HEAD": True,
+                                     "_DENSE_INPUT": True},
 }
 DEFAULTS = {"_CONV_IMPL": "conv", "_WGRAD_DOT": False, "_POOL_SLICE": False,
             "_POOL_RESHAPE": False, "_POOL_EQMASK": False,
-            "_PACKED_HEAD": False}
+            "_PACKED_HEAD": False, "_DENSE_INPUT": False}
 
 
 def chain_time(fn, state, images, n1=4, n2=16):
