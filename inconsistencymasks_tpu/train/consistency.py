@@ -67,15 +67,26 @@ class ConsistencyTrainer:
         self.packed = (forward != "unrolled" and packable
                        and self.population > 1)
         if self.packed:
-            self._sup_step = jax.jit(self._sup_step_packed_impl,
-                                     donate_argnums=0)
-            self._cons_step = jax.jit(self._cons_step_packed_impl,
-                                      donate_argnums=0)
+            sup_impl = self._sup_step_packed_impl
+            cons_impl = self._cons_step_packed_impl
             self._val_step = jax.jit(self._val_step_packed_impl)
         else:
-            self._sup_step = jax.jit(self._sup_step_impl, donate_argnums=0)
-            self._cons_step = jax.jit(self._cons_step_impl, donate_argnums=0)
+            sup_impl = self._sup_step_impl
+            cons_impl = self._cons_step_impl
             self._val_step = jax.jit(self._val_step_impl)
+        self._sup_step = jax.jit(sup_impl, donate_argnums=0)
+        self._cons_step = jax.jit(cons_impl, donate_argnums=0)
+        # device-cache gather variants: the whole split lives in HBM and
+        # each step ships only (B,) int32 indices — the relay client leaks
+        # every bulk host->device payload (see trainer.py fit), so the
+        # 100-epoch consistency loops must not re-upload batches per step
+        self._sup_step_gather = jax.jit(
+            lambda state, ia, ta, idx: sup_impl(
+                state, jnp.take(ia, idx, axis=0),
+                jnp.take(ta, idx, axis=0)), donate_argnums=0)
+        self._cons_step_gather = jax.jit(
+            lambda state, ia, idx, rng: cons_impl(
+                state, jnp.take(ia, idx, axis=0), rng), donate_argnums=0)
         self._select = jax.jit(self._select_impl, donate_argnums=0)
 
     def _packed_fwd(self, params, batch_stats, images, train=True):
@@ -236,12 +247,14 @@ class ConsistencyTrainer:
             best_metric=jnp.where(better, metric, state["best_metric"]))
 
     def _validate_and_keep(self, val_ds, batch_size):
+        """Validation on the HBM-cached split (device_eval_batches): the
+        per-phase val pass uploads nothing after the first call."""
+        from ..data.loader import device_eval_batches
         acc = {"sum": jnp.zeros((self.population,)), "count": jnp.zeros(())}
-        for images, targets in eval_batches(val_ds, batch_size):
+        for images, targets in device_eval_batches(val_ds, batch_size):
             acc = self._val_step(self.state["params"],
                                  self.state["batch_stats"],
-                                 jnp.asarray(images), jnp.asarray(targets),
-                                 acc)
+                                 images, targets, acc)
         metric = acc["sum"] / jnp.maximum(acc["count"], 1)
         self.state = self._select(self.state, metric)
         return np.asarray(metric)
@@ -250,26 +263,63 @@ class ConsistencyTrainer:
             val_ds: Dataset, *, epochs: int, batch_size: int,
             validation_frequency: int = 1, seed: int = 42,
             log=print) -> np.ndarray:
-        lab_stream = stream_batches(labeled_ds, batch_size, seed)
-        unl_stream = stream_batches(unlabeled_ds, batch_size, seed + 1)
+        import os
+
         lab_steps = max(len(labeled_ds) // batch_size, 1)
         unl_steps = max(len(unlabeled_ds) // batch_size, 1)
+        cache_bytes = (labeled_ds.images.nbytes + unlabeled_ds.images.nbytes
+                       + (labeled_ds.targets.nbytes
+                          if labeled_ds.targets is not None else 0))
+        cache_max = float(os.environ.get("IM_DEVICE_CACHE_MAX_GB",
+                                         "5")) * 1024 ** 3
+        use_cache = cache_bytes < cache_max
+        if use_cache:
+            lab_i = jnp.asarray(labeled_ds.images)
+            lab_t = jnp.asarray(labeled_ds.targets)
+            unl_i = jnp.asarray(unlabeled_ds.images)
+            rngs = {"lab": np.random.RandomState(seed),
+                    "unl": np.random.RandomState(seed + 1)}
+            bufs = {"lab": [], "unl": []}
+            sizes = {"lab": len(labeled_ds), "unl": len(unlabeled_ds)}
+
+            def next_idx(which):
+                buf = bufs[which]
+                while len(buf) < batch_size:
+                    buf.extend(rngs[which].permutation(sizes[which]).tolist())
+                out = np.asarray(buf[:batch_size], np.int32)
+                del buf[:batch_size]
+                return out
+        else:
+            if log:
+                log(f"WARNING: consistency sets ({cache_bytes / 1e9:.1f} GB)"
+                    f" exceed IM_DEVICE_CACHE_MAX_GB — per-step host "
+                    f"uploads LEAK on this relay")
+            lab_stream = stream_batches(labeled_ds, batch_size, seed)
+            unl_stream = stream_batches(unlabeled_ds, batch_size, seed + 1)
         key = jax.random.PRNGKey(seed)
         history = []
         for epoch in range(epochs):
             t0 = time.time()
             for _ in range(lab_steps):
-                images, targets = next(lab_stream)
-                self.state, _ = self._sup_step(self.state,
-                                               jnp.asarray(images),
-                                               jnp.asarray(targets))
+                if use_cache:
+                    self.state, _ = self._sup_step_gather(
+                        self.state, lab_i, lab_t, jnp.asarray(next_idx("lab")))
+                else:
+                    images, targets = next(lab_stream)
+                    self.state, _ = self._sup_step(self.state,
+                                                   jnp.asarray(images),
+                                                   jnp.asarray(targets))
             if epoch % validation_frequency == 0:
                 self._validate_and_keep(val_ds, batch_size)
             for _ in range(unl_steps):
-                images, _ = next(unl_stream)
                 key, k = jax.random.split(key)
-                self.state, _ = self._cons_step(self.state,
-                                                jnp.asarray(images), k)
+                if use_cache:
+                    self.state, _ = self._cons_step_gather(
+                        self.state, unl_i, jnp.asarray(next_idx("unl")), k)
+                else:
+                    images, _ = next(unl_stream)
+                    self.state, _ = self._cons_step(self.state,
+                                                    jnp.asarray(images), k)
             if epoch % validation_frequency == 0:
                 metric = self._validate_and_keep(val_ds, batch_size)
                 history.append(metric)
@@ -277,6 +327,9 @@ class ConsistencyTrainer:
                     log(f"cs epoch {epoch + 1}/{epochs} val_loss "
                         f"{np.array2string(metric, precision=4)} "
                         f"({time.time() - t0:.1f}s)")
+        if not use_cache:
+            lab_stream.close()
+            unl_stream.close()
         return np.stack(history) if history else np.zeros((0,
                                                            self.population))
 

@@ -464,8 +464,26 @@ class PopulationTrainer:
         return images, targets
 
     def evaluate(self, val_ds: Dataset, batch_size: int = 32) -> np.ndarray:
-        """Monitored metric per candidate over the validation set."""
+        """Monitored metric per candidate over the validation set.
+
+        Single-chip: the split is cached in HBM (device_eval_batches) so
+        the per-epoch validation pass uploads NOTHING — this environment's
+        relay client leaks every host->device payload (~1.2 bytes RSS per
+        byte sent, measured), so repeated bulk uploads eventually OOM the
+        HOST.  Overlapped final batches are masked out instead of dropped
+        (the metric accumulates in-program)."""
+        from ..data.loader import device_eval_batches
         acc = self._zero_acc()
+        if self.mesh is None:
+            for images, targets, skip in device_eval_batches(
+                    val_ds, batch_size, pad_final=True):
+                mask = np.ones((images.shape[0],), np.float32)
+                mask[:skip] = 0.0
+                acc = self._eval_step(self.state["params"],
+                                      self.state["batch_stats"],
+                                      images, targets, jnp.asarray(mask),
+                                      acc)
+            return np.asarray(self._metric_result(acc))
         for images, targets in eval_batches(val_ds, batch_size):
             images, targets, mask = self._pad_to_mesh(images, targets)
             images, targets = self._put_batch(images, targets)
@@ -488,9 +506,25 @@ class PopulationTrainer:
         # per-step host->device transfer drops from the full batch to (B,)
         # int32.  The sharded-mesh path keeps the host stream (batches must
         # arrive sharded over the data axis).
+        #
+        # The ceiling matters on this environment: the relay client LEAKS
+        # every host->device payload (~1.2 bytes host RSS per byte sent,
+        # measured), so the streamed path's per-step uploads grow the host
+        # process by gigabytes per epoch on big sets — the kernel
+        # OOM-killed round 4's AIM++ stage three times at ~130 GB before
+        # the ceiling was raised from 2 to 5 GiB.  If the cache + working
+        # set exceed HBM instead, the grid-cell runners catch the device
+        # OOM and halve the candidate chunk (workflows.py), which shrinks
+        # the working set while keeping the cache.
         cache_bytes = train_ds.images.nbytes + (
             train_ds.targets.nbytes if train_ds.targets is not None else 0)
-        use_cache = self.mesh is None and cache_bytes < 2 * 1024 ** 3
+        cache_max = float(os.environ.get("IM_DEVICE_CACHE_MAX_GB",
+                                         "5")) * 1024 ** 3
+        use_cache = self.mesh is None and cache_bytes < cache_max
+        if self.mesh is None and not use_cache and log:
+            log(f"WARNING: training set ({cache_bytes / 1e9:.1f} GB) "
+                f"exceeds IM_DEVICE_CACHE_MAX_GB — falling back to "
+                f"per-step host uploads, which LEAK on this relay")
         if use_cache:
             images_all = jnp.asarray(train_ds.images)
             targets_all = jnp.asarray(train_ds.targets)
@@ -534,6 +568,8 @@ class PopulationTrainer:
                     f"val_{self.monitor.kind} "
                     f"{np.array2string(metric, precision=4)} "
                     f"({time.time() - t0:.1f}s)")
+        if not use_cache:
+            stream.close()          # stop the prefetch producer thread
         return np.stack(history)
 
     def fit_multi(self, train_datasets, val_ds: Dataset, *, epochs: int,
