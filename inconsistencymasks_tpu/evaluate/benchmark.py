@@ -32,6 +32,22 @@ from ..utils.io_pool import flushes_writes, imwrite_async
 
 _FORWARD_CACHE: dict = {}
 
+# Running count of packed-mask bytes fetched device->host by this module —
+# the dominant benchmark cost on this environment's ~1 MB/s relay.  The
+# grid-cell runners log the per-cell delta (ROADMAP "benchmark d2h" item).
+_D2H_BYTES: int = 0
+
+
+def d2h_bytes() -> int:
+    """Total device->host mask bytes downloaded by benchmark calls so far."""
+    return _D2H_BYTES
+
+
+def _count_d2h(arr: np.ndarray) -> np.ndarray:
+    global _D2H_BYTES
+    _D2H_BYTES += arr.nbytes
+    return arr
+
 
 def _forward_fn(module):
     """Jitted eval forward, cached per module so repeated benchmark calls
@@ -101,7 +117,7 @@ def benchmark_binary(module, variables, images_ds: Dataset, *,
         ious.extend(round(float(v), 4) for v in np.asarray(iou)[skip:])
         dices.extend(round(float(v), 4) for v in np.asarray(dice)[skip:])
         if create_images and pred_dir:
-            preds = bitpack.unpackbits2d(np.asarray(packed)[skip:],
+            preds = bitpack.unpackbits2d(_count_d2h(np.asarray(packed))[skip:],
                                          w) * np.uint8(255)
             for i in range(preds.shape[0]):
                 imwrite_async(os.path.join(
@@ -139,7 +155,7 @@ def benchmark_multiclass(module, variables, images_ds: Dataset, *,
         if create_images and pred_dir:
             # class-map download only when the PNGs are actually written
             # (metrics are device scalars)
-            preds_np = np.asarray(preds)[skip:]
+            preds_np = _count_d2h(np.asarray(preds))[skip:]
             for i in range(preds_np.shape[0]):
                 name = images_ds.names[cursor + i]
                 imwrite_async(os.path.join(pred_dir, name), preds_np[i])
@@ -181,7 +197,7 @@ def benchmark_hela(module, variables, ds: Dataset, *,
                                                  device_targets=False,
                                                  pad_final=True):
         probs = forward(variables, images)
-        packed = np.asarray(_threshold_pack(probs, threshold))[skip:]
+        packed = _count_d2h(np.asarray(_threshold_pack(probs, threshold)))[skip:]
         preds = bitpack.unpackbits2d(packed, w) * np.uint8(255)
         gts = np.asarray(gts)[skip:]
         for i in range(preds.shape[0]):
@@ -223,3 +239,268 @@ def _np_iou(gt: np.ndarray, pred: np.ndarray, eps: float = 1e-7) -> float:
     inter = np.logical_and(gt, pred).sum()
     union = np.logical_or(gt, pred).sum()
     return float(inter / (union + eps))
+
+
+# --------------------------------------------------------------------------
+# Population benchmarks: ONE stacked forward for all K candidates of a cell
+# --------------------------------------------------------------------------
+# The per-candidate functions above walk each split once per candidate
+# (K x 3 passes per cell).  A cell's candidates share the architecture, so
+# their parameters stack on a leading axis and one jitted program evaluates
+# all K per batch (the same static-unroll layout as pseudo/engine.py
+# StackedEnsemble) with per-candidate metric reductions fused in.  Replaces
+# the reference's strictly per-model benchmark loops
+# (functions.py:1078-1151 called once per candidate, e.g. 03:82-85) with a
+# single device pass; mask downloads happen only for candidates that dump
+# prediction PNGs.
+
+_STACKED_FORWARD_CACHE: dict = {}
+
+
+def _stacked_forward_fn(module):
+    from ..ops.unroll import unrolled_map
+    fn = _STACKED_FORWARD_CACHE.get(module)
+    if fn is None:
+        fn = jax.jit(lambda stacked, images: unrolled_map(
+            lambda v: module.apply(v, images, train=False), stacked))
+        _STACKED_FORWARD_CACHE[module] = fn
+    return fn
+
+
+@jax.jit
+def _binary_postproc_pop(probs, gt, threshold):
+    """probs (K,B,H,W,1), gt (B,H,W,1) -> (packed (K,B,H,W//8),
+    iou (K,B), dice (K,B)); identical math to _binary_postproc per k."""
+    pred = probs[..., 0] > threshold                       # (K,B,H,W) bool
+    t = (gt[..., 0] != 0)[None]                            # (1,B,H,W) bool
+    inter = jnp.sum(jnp.logical_and(t, pred).astype(jnp.float32),
+                    axis=(-1, -2))
+    union = jnp.sum(jnp.logical_or(t, pred).astype(jnp.float32),
+                    axis=(-1, -2))
+    iou = inter / (union + 1e-7)
+    tf = t.astype(jnp.float32)
+    pf = pred.astype(jnp.float32)
+    dice_inter = jnp.sum(tf * pf, axis=(-1, -2))
+    dice_union = (jnp.sum(tf, axis=(-1, -2))
+                  + jnp.sum(pf, axis=(-1, -2)))
+    dice = (2.0 * dice_inter + 1.0) / (dice_union + 1.0)
+    return bitpack.packbits2d(pred), iou, dice
+
+
+def _iou_multi_unique_pop(pred, gt, num_classes, eps=1e-7):
+    """iou_multi_unique for a (K,B,H,W) prediction stack against one
+    (B,H,W) gt, computed classwise via scan so peak memory stays at a few
+    (K,B,H,W) booleans instead of a (K*B,H,W,C) float one-hot."""
+    def body(carry, c):
+        iou_sum, cnt = carry
+        t = gt == c                                        # (B,H,W)
+        p = pred == c                                      # (K,B,H,W)
+        inter = jnp.sum(jnp.logical_and(t[None], p).astype(jnp.float32),
+                        axis=(-1, -2))                     # (K,B)
+        tsum = jnp.sum(t.astype(jnp.float32), axis=(-1, -2))   # (B,)
+        psum = jnp.sum(p.astype(jnp.float32), axis=(-1, -2))   # (K,B)
+        union = tsum[None] + psum - inter
+        present = tsum > 0                                 # (B,)
+        iou_sum = iou_sum + jnp.where(present[None],
+                                      inter / (union + eps), 0.0)
+        cnt = cnt + present.astype(jnp.float32)
+        return (iou_sum, cnt), None
+
+    k, b = pred.shape[0], pred.shape[1]
+    init = (jnp.zeros((k, b), jnp.float32), jnp.zeros((b,), jnp.float32))
+    (iou_sum, cnt), _ = jax.lax.scan(body, init, jnp.arange(num_classes))
+    return iou_sum / cnt[None]
+
+
+@_partial(jax.jit, static_argnums=2)
+def _multiclass_postproc_pop(probs, gt, num_classes):
+    pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)    # (K,B,H,W)
+    correct = jnp.sum((pred == gt[None]).astype(jnp.float32), axis=(-1, -2))
+    pa = correct / (gt.shape[-1] * gt.shape[-2])           # (K,B)
+    iou = _iou_multi_unique_pop(pred, gt, num_classes)
+    return pred.astype(jnp.uint8), pa, iou
+
+
+@jax.jit
+def _threshold_pack_pop(probs, threshold):
+    """(K,B,H,W,C) probs -> (K,B,C,H,W//8) bit-packed."""
+    m = jnp.moveaxis(probs > threshold, -1, 2)
+    return bitpack.packbits2d(m)
+
+
+def _fetch_dumped(packed, dump_idx, k):
+    """Download only the candidates that dump PNGs: all-K fetch when every
+    candidate dumps, per-candidate device slices otherwise."""
+    if len(dump_idx) == k:
+        return _count_d2h(np.asarray(packed))
+    out = {}
+    for i in dump_idx:
+        out[i] = _count_d2h(np.asarray(packed[i]))
+    return out
+
+
+@flushes_writes
+def benchmark_binary_population(module, variables_list, images_ds: Dataset,
+                                *, pred_dirs=None, batch_size: int = 64,
+                                threshold: float = 0.5):
+    """K-candidate ISIC-style benchmark in one stacked pass.
+
+    ``pred_dirs``: per-candidate dump dir or None (no dump), len K.
+    Returns ``[(mIoU, mdice), ...]`` per candidate with reference rounding
+    (functions.py:1129-1147), exactly as K benchmark_binary calls would.
+    """
+    from ..train.checkpoint import stack_variables
+    k = len(variables_list)
+    pred_dirs = pred_dirs or [None] * k
+    stacked = stack_variables(list(variables_list))
+    forward = _stacked_forward_fn(module)
+    dump_idx = [i for i, d in enumerate(pred_dirs) if d]
+    for i in dump_idx:
+        os.makedirs(pred_dirs[i], exist_ok=True)
+
+    ious = [[] for _ in range(k)]
+    dices = [[] for _ in range(k)]
+    cursor = 0
+    w = images_ds.images.shape[2]
+    for images, gts, skip in device_eval_batches(images_ds, batch_size,
+                                                 pad_final=True):
+        probs = forward(stacked, images)
+        packed, iou, dice = _binary_postproc_pop(probs, gts, threshold)
+        iou_np = np.asarray(iou)[:, skip:]
+        dice_np = np.asarray(dice)[:, skip:]
+        for i in range(k):
+            ious[i].extend(round(float(v), 4) for v in iou_np[i])
+            dices[i].extend(round(float(v), 4) for v in dice_np[i])
+        if dump_idx:
+            fetched = _fetch_dumped(packed, dump_idx, k)
+            for i in dump_idx:
+                preds = bitpack.unpackbits2d(fetched[i][skip:],
+                                             w) * np.uint8(255)
+                for j in range(preds.shape[0]):
+                    imwrite_async(os.path.join(
+                        pred_dirs[i], images_ds.names[cursor + j]), preds[j])
+        cursor += iou_np.shape[1]
+
+    return [(round(float(np.sum(ious[i]) / len(ious[i])), 3),
+             round(float(np.sum(dices[i]) / len(dices[i])), 3))
+            for i in range(k)]
+
+
+@flushes_writes
+def benchmark_multiclass_population(module, variables_list,
+                                    images_ds: Dataset, *, num_classes: int,
+                                    class_to_color: dict, pred_dirs=None,
+                                    batch_size: int = 64):
+    """K-candidate multiclass benchmark in one stacked pass.  Returns
+    ``[(mPA, mIoU), ...]`` per candidate (reference rounding)."""
+    from ..train.checkpoint import stack_variables
+    k = len(variables_list)
+    pred_dirs = pred_dirs or [None] * k
+    stacked = stack_variables(list(variables_list))
+    forward = _stacked_forward_fn(module)
+    dump_idx = [i for i, d in enumerate(pred_dirs) if d]
+    for i in dump_idx:
+        os.makedirs(pred_dirs[i], exist_ok=True)
+    lut = class_to_color_lut(class_to_color, num_classes)
+
+    pas = [[] for _ in range(k)]
+    ious = [[] for _ in range(k)]
+    cursor = 0
+    for images, gts, skip in device_eval_batches(images_ds, batch_size,
+                                                 pad_final=True):
+        probs = forward(stacked, images)
+        preds, pa, iou = _multiclass_postproc_pop(probs, gts[..., 0]
+                                                  if gts.ndim == 4 else gts,
+                                                  num_classes)
+        pa_np = np.asarray(pa)[:, skip:]
+        iou_np = np.asarray(iou)[:, skip:]
+        for i in range(k):
+            pas[i].extend(round(float(v), 4) for v in pa_np[i])
+            ious[i].extend(round(float(v), 4) for v in iou_np[i])
+        if dump_idx:
+            fetched = _fetch_dumped(preds, dump_idx, k)
+            for i in dump_idx:
+                pn = fetched[i][skip:]
+                for j in range(pn.shape[0]):
+                    name = images_ds.names[cursor + j]
+                    imwrite_async(os.path.join(pred_dirs[i], name), pn[j])
+                    color = lut[pn[j]]
+                    imwrite_async(
+                        os.path.join(pred_dirs[i], f"{name[:-4]}_color.png"),
+                        cv2.cvtColor(color, cv2.COLOR_RGB2BGR))
+        cursor += pa_np.shape[1]
+
+    return [(round(float(np.sum(pas[i]) / len(pas[i])), 3),
+             round(float(np.sum(ious[i]) / len(ious[i])), 3))
+            for i in range(k)]
+
+
+@flushes_writes
+def benchmark_hela_population(module, variables_list, ds: Dataset, *,
+                              pred_dirs=None, batch_size: int = 64,
+                              threshold: float = 0.5,
+                              mod_position: bool = True):
+    """K-candidate HeLa benchmark sharing one stacked forward.  The metric
+    math needs the mask pixels on host (contours/cell counts, reference
+    functions.py:1222-1245), so all K candidates' packed masks download —
+    the same bytes as K benchmark_hela calls, in one device pass.
+    Returns ``[(mIoU, mIoU_ad, mcce), ...]`` per candidate."""
+    from ..train.checkpoint import stack_variables
+    k = len(variables_list)
+    pred_dirs = pred_dirs or [None] * k
+    stacked = stack_variables(list(variables_list))
+    forward = _stacked_forward_fn(module)
+    for i, d in enumerate(pred_dirs):
+        if d:
+            for chan in ("alive", "dead",
+                         "mod_position" if mod_position else "position"):
+                os.makedirs(os.path.join(d, chan), exist_ok=True)
+
+    mious = [[] for _ in range(k)]
+    mious_ad = [[] for _ in range(k)]
+    cc_delta = [0] * k
+    cursor = 0
+    w = ds.images.shape[2]
+    for images, gts, skip in device_eval_batches(ds, batch_size,
+                                                 device_targets=False,
+                                                 pad_final=True):
+        probs = forward(stacked, images)
+        packed = _count_d2h(np.asarray(
+            _threshold_pack_pop(probs, threshold)))[:, skip:]
+        gts = np.asarray(gts)[skip:]
+        preds = bitpack.unpackbits2d(packed, w) * np.uint8(255)  # (K,B,3,H,W)
+        b = preds.shape[1]
+        # gt-side contours/counts are candidate-independent: compute once
+        for j in range(b):
+            gt_alive = (gts[j, :, :, 0] > 0).astype(np.uint8) * 255
+            gt_dead = (gts[j, :, :, 1] > 0).astype(np.uint8) * 255
+            gt_pos = (gts[j, :, :, 2] > 0).astype(np.uint8) * 255
+            gt_positions = get_pos_contours(gt_pos)
+            ga, gd, _ = get_cell_count(gt_positions, gt_alive, gt_dead)
+            for i in range(k):
+                alive_u, dead_u, pos_u = (preds[i, j, 0], preds[i, j, 1],
+                                          preds[i, j, 2])
+                if mod_position:
+                    pos_u = mod_pos_size(pos_u)
+                iou_a = round(_np_iou(gt_alive, alive_u), 4)
+                iou_d = round(_np_iou(gt_dead, dead_u), 4)
+                iou_p = round(_np_iou(gt_pos, pos_u), 4)
+                mious[i].append((iou_a + iou_d + iou_p) / 3)
+                mious_ad[i].append((iou_a + iou_d) / 2)
+                pred_pos = get_pos_contours(pos_u)
+                pa, pd, _ = get_cell_count(pred_pos, alive_u, dead_u)
+                cc_delta[i] += abs(pa - ga) + abs(pd - gd)
+                if pred_dirs[i]:
+                    name = ds.names[cursor + j]
+                    imwrite_async(os.path.join(pred_dirs[i], "alive", name),
+                                  alive_u)
+                    imwrite_async(os.path.join(pred_dirs[i], "dead", name),
+                                  dead_u)
+                    chan = "mod_position" if mod_position else "position"
+                    imwrite_async(os.path.join(pred_dirs[i], chan, name),
+                                  pos_u)
+        cursor += b
+
+    return [(round(float(np.sum(mious[i]) / len(mious[i])), 3),
+             round(float(np.sum(mious_ad[i]) / len(mious_ad[i])), 3),
+             round(cc_delta[i] / len(mious[i]), 3)) for i in range(k)]

@@ -473,11 +473,7 @@ def run_consistency_stage(ad: DatasetAdapter, population: int = 5) -> None:
     from .ops.augment import AugmentParams
     from .train.checkpoint import stack_variables
     from .train.consistency import ConsistencyTrainer
-    from .evaluate.benchmark import (benchmark_binary, benchmark_hela,
-                                     benchmark_multiclass)
-    from .train.checkpoint import save_variables
-    from .workflows import (BINARY_HEADER, HELA_HEADER, MULTICLASS_HEADER,
-                            _sort_spec)
+    from .workflows import _finish_cell
 
     approach = "consistency_loss"
     d = ad.cfg.defaults
@@ -514,53 +510,17 @@ def run_consistency_stage(ad: DatasetAdapter, population: int = 5) -> None:
                         validation_frequency=d.validation_frequency,
                         seed=d.seed, log=ad.log)
 
-            rows = []
-            for i, variables in enumerate(trainer.best_variables()):
-                mn = f"{modelname}_{i}"
-                save_variables(os.path.join(ad.model_dir, f"{mn}.h5"),
-                               variables, {"modelname": mn})
-                pred = lambda s: ad.pred_dir(s, mn, approach)
-                if ad.kind == "binary":
-                    vals = [benchmark_binary(module, variables,
-                                             ad.load_split(m),
-                                             pred_dir=pred(s))
-                            for s, m in (("val", ad.val_dir),
-                                         ("test", ad.test_dir),
-                                         ("unlabeled",
-                                          ad.train_unlabeled_dir))]
-                    mious, dices = zip(*vals)
-                    rows.append((mn, *mious, *dices))
-                elif ad.kind == "hela":
-                    vals = [benchmark_hela(module, variables,
-                                           ad.load_split(m),
-                                           pred_dir=pred(s))
-                            for s, m in (("val", ad.val_dir),
-                                         ("test", ad.test_dir),
-                                         ("unlabeled",
-                                          ad.train_unlabeled_dir))]
-                    rows.append((mn, *vals[0], *vals[1], *vals[2]))
-                else:
-                    vals = [benchmark_multiclass(
-                        module, variables, ad.load_split(m),
-                        num_classes=ad.cfg.num_classes,
-                        class_to_color=ad.class_to_color, pred_dir=pred(s))
-                        for s, m in (("val", ad.val_dir),
-                                     ("test", ad.test_dir),
-                                     ("unlabeled", ad.train_unlabeled_dir))]
-                    (pv, iv), (pt, it), (pu, iu) = vals
-                    rows.append((mn, pv, pt, pu, iv, it, iu))
-
-            key_idx, desc = _sort_spec(ad.kind)
-            order = sorted(range(len(rows)), key=lambda i: rows[i][key_idx],
-                           reverse=desc)
-            for rank, i in enumerate(order[:d.top_ks], start=1):
-                os.replace(os.path.join(ad.model_dir, f"{rows[i][0]}.h5"),
-                           ad.topk_path(modelname, rank))
-            header = {"binary": BINARY_HEADER, "hela": HELA_HEADER,
-                      "multiclass": MULTICLASS_HEADER}[ad.kind]
-            write_results_csv(os.path.join(ad.csv_dir,
-                                           f"results_{modelname}.csv"),
-                              header, rows)
+            # same benchmark/rank/topK/CSV finish as every grid cell —
+            # shares one stacked forward per split and the pred_splits()
+            # dump gating (workflows._finish_cell)
+            _finish_cell(
+                kind=ad.kind, cfg=ad.cfg, module=module, val_ds=val,
+                test_ds=test, unlabeled_ds=unl_eval, modelname=modelname,
+                model_dir=ad.model_dir, csv_dir=ad.csv_dir,
+                pred_dir_fn=lambda s, mn: ad.pred_dir(s, mn, approach),
+                best=trainer.best_variables(),
+                class_to_color=ad.class_to_color, write_csv=True,
+                create_pred_images=True, log=ad.log)
 
 
 # ==========================================================================

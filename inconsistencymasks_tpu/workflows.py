@@ -184,6 +184,28 @@ def run_grid_cell(
         write_csv=write_csv, create_pred_images=create_pred_images, log=log)
 
 
+def pred_splits() -> Optional[set]:
+    """Which splits dump prediction PNGs (None = all).
+
+    ``IM_PRED_SPLITS`` (comma list of val/test/unlabeled; ``all``;
+    ``none``) overrides.  Default: **unlabeled only** — the only dumps any
+    downstream stage consumes (the per-candidate dirs feeding stage 10;
+    reference functions.py:1106-1133 writes val/test trees too, but nothing
+    reads them back — they are inspection artifacts).  Metrics are device
+    scalars either way; skipping a split's dump skips its packed-mask
+    download (~8 KB/image over the ~1 MB/s relay) and its PNG encodes.
+    Set ``IM_PRED_SPLITS=all`` for full reference-parity dumps."""
+    raw = os.environ.get("IM_PRED_SPLITS")
+    if raw is None:
+        return {"unlabeled"}
+    raw = raw.strip().lower()
+    if raw == "all":
+        return None
+    if raw in ("", "none"):
+        return set()
+    return {s.strip() for s in raw.split(",")}
+
+
 def _finish_cell(*, kind, cfg, module, val_ds, test_ds, unlabeled_ds,
                  modelname, model_dir, csv_dir, pred_dir_fn, best,
                  class_to_color, write_csv, create_pred_images, log
@@ -191,58 +213,95 @@ def _finish_cell(*, kind, cfg, module, val_ds, test_ds, unlabeled_ds,
     """Post-training half of a grid cell: benchmark each candidate on
     val/test/unlabeled, save, rank, topK-rename, CSV (reference 03:82-106).
 
-    ``IM_PRED_SPLITS`` (comma list of val/test/unlabeled) restricts which
-    splits dump prediction PNGs: metrics are device scalars, so skipping a
-    split's dump skips its packed-mask download (~8 KB/image over the
-    ~1 MB/s relay) and its PNG encodes.  Only the UNLABELED split's dumps
-    are consumed downstream (stage-10 candidate dirs); val/test dumps are
-    inspection artifacts — default writes all three (reference parity)."""
+    All K candidates share ONE stacked forward pass per split
+    (evaluate/benchmark.py population benchmarks) instead of the
+    reference's per-candidate loops; ``IM_BENCH_STACKED=0`` restores the
+    per-candidate path.  Prediction-PNG dumps follow ``pred_splits()``
+    (default: unlabeled only)."""
+    from .evaluate import benchmark as _bm
+
     d = cfg.defaults
-    allowed = os.environ.get("IM_PRED_SPLITS")
-    allowed = (None if allowed is None
-               else {s.strip() for s in allowed.split(",")})
+    allowed = pred_splits()
 
     def want(split):
         return create_pred_images and (allowed is None or split in allowed)
 
-    rows = []
-    for i, variables in enumerate(best):
-        mn = f"{modelname}_{i}"
+    d2h0 = _bm.d2h_bytes()
+    stacked_ok = (os.environ.get("IM_BENCH_STACKED", "1") != "0"
+                  and len(best) > 1)
+    names = [f"{modelname}_{i}" for i in range(len(best))]
+    for mn, variables in zip(names, best):
         save_variables(os.path.join(model_dir, f"{mn}.h5"), variables,
                        {"modelname": mn, "module": repr(module)})
-        if kind == "binary":
-            r = [mn]
-            for split, ds in (("val", val_ds), ("test", test_ds),
-                              ("unlabeled", unlabeled_ds)):
-                miou, dice = benchmark_binary(
-                    module, variables, ds,
-                    pred_dir=pred_dir_fn(split, mn),
-                    create_images=want(split))
-                r.append((miou, dice))
-            mious, dices = zip(*r[1:])
-            rows.append((mn, *mious, *dices))
-        elif kind == "hela":
-            r = [mn]
-            for split, ds in (("val", val_ds), ("test", test_ds),
-                              ("unlabeled", unlabeled_ds)):
-                r.append(benchmark_hela(
-                    module, variables, ds,
-                    pred_dir=pred_dir_fn(split, mn),
-                    save_output=want(split)))
-            rows.append((mn, *r[1], *r[2], *r[3]))
-        else:
-            r = [mn]
-            for split, ds in (("val", val_ds), ("test", test_ds),
-                              ("unlabeled", unlabeled_ds)):
-                r.append(benchmark_multiclass(
-                    module, variables, ds, num_classes=cfg.num_classes,
-                    class_to_color=class_to_color or {},
-                    pred_dir=pred_dir_fn(split, mn),
-                    create_images=want(split)))
-            (mpa_v, miou_v), (mpa_t, miou_t), (mpa_u, miou_u) = r[1:]
-            rows.append((mn, mpa_v, mpa_t, mpa_u, miou_v, miou_t, miou_u))
-        if log:
-            log(f"[{modelname}] candidate {i}: {rows[-1][1:]}")
+
+    splits = (("val", val_ds), ("test", test_ds),
+              ("unlabeled", unlabeled_ds))
+
+    if stacked_ok:
+        per_split = []
+        for split, ds in splits:
+            dirs = [pred_dir_fn(split, mn) if want(split) else None
+                    for mn in names]
+            if kind == "binary":
+                per_split.append(_bm.benchmark_binary_population(
+                    module, best, ds, pred_dirs=dirs))
+            elif kind == "hela":
+                per_split.append(_bm.benchmark_hela_population(
+                    module, best, ds, pred_dirs=dirs))
+            else:
+                per_split.append(_bm.benchmark_multiclass_population(
+                    module, best, ds, num_classes=cfg.num_classes,
+                    class_to_color=class_to_color or {}, pred_dirs=dirs))
+        rows = []
+        for i, mn in enumerate(names):
+            v, t, u = (per_split[0][i], per_split[1][i], per_split[2][i])
+            if kind == "binary":
+                rows.append((mn, v[0], t[0], u[0], v[1], t[1], u[1]))
+            elif kind == "hela":
+                rows.append((mn, *v, *t, *u))
+            else:
+                rows.append((mn, v[0], t[0], u[0], v[1], t[1], u[1]))
+            if log:
+                log(f"[{modelname}] candidate {i}: {rows[-1][1:]}")
+    else:
+        rows = []
+        for i, (mn, variables) in enumerate(zip(names, best)):
+            if kind == "binary":
+                r = [mn]
+                for split, ds in splits:
+                    miou, dice = benchmark_binary(
+                        module, variables, ds,
+                        pred_dir=pred_dir_fn(split, mn),
+                        create_images=want(split))
+                    r.append((miou, dice))
+                mious, dices = zip(*r[1:])
+                rows.append((mn, *mious, *dices))
+            elif kind == "hela":
+                r = [mn]
+                for split, ds in splits:
+                    r.append(benchmark_hela(
+                        module, variables, ds,
+                        pred_dir=pred_dir_fn(split, mn),
+                        save_output=want(split)))
+                rows.append((mn, *r[1], *r[2], *r[3]))
+            else:
+                r = [mn]
+                for split, ds in splits:
+                    r.append(benchmark_multiclass(
+                        module, variables, ds, num_classes=cfg.num_classes,
+                        class_to_color=class_to_color or {},
+                        pred_dir=pred_dir_fn(split, mn),
+                        create_images=want(split)))
+                (mpa_v, miou_v), (mpa_t, miou_t), (mpa_u, miou_u) = r[1:]
+                rows.append((mn, mpa_v, mpa_t, mpa_u, miou_v, miou_t,
+                             miou_u))
+            if log:
+                log(f"[{modelname}] candidate {i}: {rows[-1][1:]}")
+    if log:
+        log(f"[{modelname}] benchmark d2h "
+            f"{(_bm.d2h_bytes() - d2h0) / 1e6:.1f} MB "
+            f"({len(best)} candidates, dumps="
+            f"{'all' if allowed is None else ','.join(sorted(allowed)) or 'none'})")
 
     key_idx, desc = _sort_spec(kind)
     order = sorted(range(len(rows)), key=lambda i: rows[i][key_idx],
