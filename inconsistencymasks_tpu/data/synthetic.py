@@ -267,3 +267,268 @@ def make_isic_like_dataset(base_dir: str, *, n_train: int = 2594,
             name = f"ISIC_{off + i:07d}.png"
             _write(os.path.join(base_dir, split, "images", name), img)
             _write(os.path.join(base_dir, split, "masks", name), mask)
+
+
+# --------------------------------------------------------------------------
+# SUIM-like structured multiclass proxy (mIoU-arm quality runs)
+# --------------------------------------------------------------------------
+
+def _texture(rng, h, w, cells, amp):
+    """Low-frequency 3-channel noise field."""
+    return cv2.resize(rng.randn(cells, cells, 3).astype(np.float32) * amp,
+                      (w, h), interpolation=cv2.INTER_CUBIC)
+
+
+def _poly_mask(rng, h, w, cy, cx, r, n_pts=10, jitter=0.45):
+    """Irregular blob polygon around (cy, cx)."""
+    thetas = np.linspace(0, 2 * np.pi, n_pts, endpoint=False)
+    rr = r * (1 + rng.uniform(-jitter, jitter, n_pts))
+    pts = np.stack([cx + rr * np.cos(thetas), cy + rr * np.sin(thetas)],
+                   axis=-1).astype(np.int32)
+    m = np.zeros((h, w), np.uint8)
+    cv2.fillPoly(m, [pts], 255)
+    return m
+
+
+def make_suim_like_dataset(base_dir: str, *, n_labeled: int = 274,
+                           n_unlabeled: int = 2470, n_val: int = 306,
+                           n_test: int = 220, h: int = 256, w: int = 256,
+                           seed: int = 42,
+                           difficulty: str = "hard") -> None:
+    """Structured underwater-scene proxy at the real SUIM task's scale and
+    class inventory (9 classes, class 0 reserved for IM — reference
+    SUIM_class_mapping.py:3-13; split/crop protocol SUIM/01:54-66 + 02:13-95
+    gives ~274 labeled / ~2470 unlabeled / ~306 val / ~220 test 256^2 crops
+    from the 10 %/90 % split of the 10 %-held-out train set).
+
+    Class signatures (learnable, with per-class appearance VARIANTS so a
+    274-crop labeled split underfits while pseudo-data still helps — the
+    same data-limited design as make_isic_like_dataset(difficulty='hard')):
+
+      1 waterbody      — hue/turbidity gradient + caustic ripples
+      2 human divers   — dark capsule + head + fins, wetsuit hue variants
+      3 plants/grass   — clusters of wavy vertical strands, green variants
+      4 wrecks/ruins   — large angular polygons, rusty texture, straight
+                         edges (the tell vs rocks)
+      5 robots         — rounded box + appendages, bright hull variants
+      6 reefs/inverts  — speckled blob clusters, magenta/orange variants
+      7 fish           — aligned ellipse swarms, silvery/striped variants
+      8 sea-floor/rock — bottom band + boulder blobs, sandy/gray variants
+
+    Ambiguity (what keeps LDT near the real ~0.333 mIoU, BASELINE.md):
+    water-column attenuation tints every object toward the water colour
+    with a random strength, wrecks/rocks/reefs share brown-gray pigment
+    families (texture is the cue), fish swarms are small, and heavy
+    sensor noise/caustics sit on top.  ``difficulty``: 'easy' | 'hard' |
+    'extreme' scales attenuation, noise and variant spread.
+    """
+    rng = np.random.RandomState(seed)
+    level = {"easy": 0.5, "hard": 1.0, "extreme": 1.4}[difficulty]
+
+    water_variants = [
+        np.array([130, 90, 20]), np.array([120, 110, 30]),
+        np.array([90, 70, 10]), np.array([140, 120, 60]),
+        np.array([110, 95, 45]),
+    ]  # BGR deep-water hues
+    wetsuits = [np.array([35, 30, 25]), np.array([60, 35, 20]),
+                np.array([30, 30, 60]), np.array([25, 50, 35])]
+    hulls = [np.array([30, 180, 230]), np.array([30, 140, 250]),
+             np.array([60, 200, 200]), np.array([200, 180, 40])]
+    greens = [np.array([40, 120, 30]), np.array([50, 150, 60]),
+              np.array([30, 90, 40]), np.array([70, 160, 90])]
+    reefs = [np.array([150, 60, 170]), np.array([60, 80, 200]),
+             np.array([130, 100, 220]), np.array([90, 60, 140])]
+    browns = [np.array([40, 70, 110]), np.array([50, 90, 130]),
+              np.array([60, 80, 100]), np.array([35, 55, 85])]
+    sands = [np.array([110, 140, 170]), np.array([90, 110, 130]),
+             np.array([70, 90, 110]), np.array([120, 130, 140])]
+
+    def attenuate(color, water, depth):
+        """Water-column tint: objects fade toward the water colour."""
+        a = np.clip(depth * level, 0, 0.85)
+        return color * (1 - a) + water * a
+
+    def draw_diver(img, mask, water):
+        cy, cx = rng.randint(h // 5, 4 * h // 5), rng.randint(w // 5,
+                                                              4 * w // 5)
+        L = rng.randint(h // 8, h // 3)
+        ang = rng.uniform(0, 180)
+        col = attenuate(wetsuits[rng.randint(len(wetsuits))]
+                        + rng.uniform(-10, 10, 3), water,
+                        rng.uniform(0.1, 0.55))
+        m = np.zeros((h, w), np.uint8)
+        cv2.ellipse(m, (cx, cy), (L, L // 3), ang, 0, 360, 255, -1)
+        rad = ang * np.pi / 180
+        hx = int(cx + 1.15 * L * np.cos(rad))
+        hy = int(cy + 1.15 * L * np.sin(rad))
+        cv2.circle(m, (hx, hy), L // 4, 255, -1)
+        fx = int(cx - 1.3 * L * np.cos(rad))
+        fy = int(cy - 1.3 * L * np.sin(rad))
+        pts = np.array([[fx, fy],
+                        [int(fx - L * 0.5 * np.cos(rad + 0.5)),
+                         int(fy - L * 0.5 * np.sin(rad + 0.5))],
+                        [int(fx - L * 0.5 * np.cos(rad - 0.5)),
+                         int(fy - L * 0.5 * np.sin(rad - 0.5))]], np.int32)
+        cv2.fillPoly(m, [pts], 255)
+        img[m > 0] = col + rng.randn(int((m > 0).sum()), 3) * 8
+        mask[m > 0] = 2
+
+    def draw_plants(img, mask, water):
+        x0 = rng.randint(0, w - 20)
+        base = rng.randint(2 * h // 3, h - 1)
+        col0 = greens[rng.randint(len(greens))]
+        m = np.zeros((h, w), np.uint8)
+        for _ in range(rng.randint(6, 18)):
+            x = x0 + rng.randint(-18, 18)
+            top = base - rng.randint(h // 6, h // 2)
+            amp = rng.uniform(2, 9)
+            ph = rng.uniform(0, 6.28)
+            ys = np.arange(max(top, 0), min(base, h - 1))
+            xs = (x + amp * np.sin(ys / rng.uniform(8, 22) + ph)).astype(
+                np.int32)
+            pts = np.stack([np.clip(xs, 0, w - 1), ys], -1)
+            cv2.polylines(m, [pts], False, 255, rng.randint(1, 3))
+        col = attenuate(col0 + rng.uniform(-15, 15, 3), water,
+                        rng.uniform(0.05, 0.5))
+        img[m > 0] = col + rng.randn(int((m > 0).sum()), 3) * 10
+        mask[m > 0] = 3
+
+    def draw_wreck(img, mask, water):
+        cy, cx = rng.randint(h // 3, h - 20), rng.randint(20, w - 20)
+        n = rng.randint(4, 7)
+        r = rng.randint(h // 5, h // 2)
+        thetas = np.sort(rng.uniform(0, 2 * np.pi, n))
+        pts = np.stack([cx + r * rng.uniform(0.5, 1.0, n) * np.cos(thetas),
+                        cy + r * rng.uniform(0.3, 0.7, n) * np.sin(thetas)],
+                       -1).astype(np.int32)
+        m = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(m, [pts], 255)
+        col = attenuate(browns[rng.randint(len(browns))]
+                        + rng.uniform(-12, 12, 3), water,
+                        rng.uniform(0.1, 0.6))
+        sel = m > 0
+        img[sel] = col + rng.randn(int(sel.sum()), 3) * 6
+        # straight plank/rib lines — the texture tell vs rocks
+        for _ in range(rng.randint(3, 8)):
+            i = rng.randint(n)
+            j = (i + 1) % n
+            t0, t1 = rng.uniform(0, 1, 2)
+            p0 = (pts[i] * (1 - t0) + pts[j] * t0).astype(int)
+            p1 = (pts[(i + 2) % n] * (1 - t1) + pts[(j + 2) % n]
+                  * t1).astype(int)
+            line = np.zeros((h, w), np.uint8)
+            cv2.line(line, tuple(p0), tuple(p1), 255, rng.randint(1, 3))
+            dark = np.logical_and(line > 0, sel)
+            img[dark] = img[dark] * 0.55
+        mask[sel] = 4
+
+    def draw_robot(img, mask, water):
+        cy, cx = rng.randint(h // 6, 5 * h // 6), rng.randint(w // 6,
+                                                              5 * w // 6)
+        bw, bh = rng.randint(w // 10, w // 4), rng.randint(h // 14, h // 6)
+        col = attenuate(hulls[rng.randint(len(hulls))]
+                        + rng.uniform(-20, 20, 3), water,
+                        rng.uniform(0.05, 0.5))
+        m = np.zeros((h, w), np.uint8)
+        cv2.rectangle(m, (cx - bw // 2, cy - bh // 2),
+                      (cx + bw // 2, cy + bh // 2), 255, -1)
+        for _ in range(rng.randint(1, 4)):  # thruster/arm appendages
+            ax = cx + rng.randint(-bw // 2, bw // 2)
+            ay = cy + rng.choice([-bh // 2, bh // 2])
+            cv2.circle(m, (ax, ay + rng.randint(-4, 4)),
+                       rng.randint(3, max(bh // 3, 4)), 255, -1)
+        sel = m > 0
+        img[sel] = col + rng.randn(int(sel.sum()), 3) * 5
+        # dark sensor ports
+        for _ in range(rng.randint(1, 4)):
+            px = cx + rng.randint(-bw // 3, bw // 3)
+            py = cy + rng.randint(-bh // 3, bh // 3)
+            cv2.circle(img, (px, py), rng.randint(2, 5), (20, 20, 20), -1)
+        mask[sel] = 5
+
+    def draw_reef(img, mask, water):
+        cy, cx = rng.randint(h // 3, h - 10), rng.randint(10, w - 10)
+        col0 = reefs[rng.randint(len(reefs))]
+        m = np.zeros((h, w), np.uint8)
+        for _ in range(rng.randint(3, 9)):
+            m |= _poly_mask(rng, h, w, cy + rng.randint(-25, 25),
+                            cx + rng.randint(-35, 35),
+                            rng.randint(8, h // 6))
+        col = attenuate(col0 + rng.uniform(-20, 20, 3), water,
+                        rng.uniform(0.1, 0.6))
+        sel = m > 0
+        img[sel] = col + rng.randn(int(sel.sum()), 3) * 22  # heavy speckle
+        mask[sel] = 6
+
+    def draw_fish(img, mask, water):
+        n = rng.randint(2, 12)
+        cy, cx = rng.randint(h // 6, 5 * h // 6), rng.randint(w // 6,
+                                                              5 * w // 6)
+        ang = rng.uniform(0, 180)
+        silver = np.array([170, 170, 160]) + rng.uniform(-30, 30, 3)
+        if rng.rand() < 0.4:
+            silver = np.array([60, 180, 220]) + rng.uniform(-25, 25, 3)
+        col = attenuate(silver, water, rng.uniform(0.1, 0.6))
+        m = np.zeros((h, w), np.uint8)
+        for _ in range(n):
+            fy = cy + rng.randint(-h // 5, h // 5)
+            fx = cx + rng.randint(-w // 5, w // 5)
+            a = rng.randint(4, 14)
+            cv2.ellipse(m, (fx, fy), (a, max(a // 3, 2)),
+                        ang + rng.uniform(-15, 15), 0, 360, 255, -1)
+        sel = m > 0
+        img[sel] = col + rng.randn(int(sel.sum()), 3) * 9
+        mask[sel] = 7
+
+    def sample():
+        water = water_variants[rng.randint(len(water_variants))] \
+            + rng.uniform(-12, 12, 3)
+        img = np.ones((h, w, 3), np.float32) * water
+        gy = np.linspace(-1, 1, h)[:, None, None]
+        img += gy * rng.uniform(5, 35)      # darker with depth
+        img += _texture(rng, h, w, 8, 10 * level)
+        # caustic ripples
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        ca = (np.sin(xx / rng.uniform(6, 18) + rng.uniform(0, 6))
+              * np.sin(yy / rng.uniform(8, 24) + rng.uniform(0, 6)))
+        img += (ca * rng.uniform(2, 9 * level))[..., None]
+        mask = np.ones((h, w), np.uint8)    # waterbody
+
+        # sea-floor band (most but not all crops)
+        if rng.rand() < 0.75:
+            base = rng.randint(2 * h // 3, h - 5)
+            xs = np.arange(w)
+            ridge = (base + 12 * np.sin(xs / rng.uniform(15, 50)
+                                        + rng.uniform(0, 6))
+                     + rng.randn(w) * 2).astype(np.int32)
+            m = np.zeros((h, w), np.uint8)
+            for x in range(w):
+                m[max(ridge[x], 0):, x] = 255
+            for _ in range(rng.randint(0, 6)):  # boulders
+                bx = rng.randint(0, w)
+                by = ridge[bx % w] + rng.randint(-8, 8)
+                m |= _poly_mask(rng, h, w, by, bx, rng.randint(6, 25))
+            col = attenuate(sands[rng.randint(len(sands))]
+                            + rng.uniform(-10, 10, 3), water,
+                            rng.uniform(0.1, 0.5))
+            sel = m > 0
+            img[sel] = col + rng.randn(int(sel.sum()), 3) * 12
+            mask[sel] = 8
+
+        draws = [draw_diver, draw_plants, draw_wreck, draw_robot,
+                 draw_reef, draw_fish]
+        k = rng.randint(1, 5)
+        for f in rng.choice(draws, size=k, replace=True):
+            f(img, mask, water)
+
+        img += rng.randn(h, w, 3) * rng.uniform(3, 10) * level
+        return np.clip(img, 0, 255).astype(np.uint8), mask
+
+    for split, n in (("train_labeled", n_labeled),
+                     ("train_unlabeled", n_unlabeled),
+                     ("val", n_val), ("test", n_test)):
+        for i in range(n):
+            img, mask = sample()
+            name = f"SUIM_{split}_{i:05d}.png"
+            _write(os.path.join(base_dir, split, "images", name), img)
+            _write(os.path.join(base_dir, split, "masks", name), mask)
