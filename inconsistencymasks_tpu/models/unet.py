@@ -117,6 +117,11 @@ class UNet(nn.Module):
     # set to a mesh axis name (e.g. 'data') when training under shard_map
     # with the batch sharded over that axis: BN statistics sync across it
     bn_sync_axis: Any = None
+    # measurement-only knob (ROADMAP item "BN folding at inference"):
+    # 'skip' removes every BN site so eval-forward timing bounds the win
+    # any BN-fold could deliver; trained variables still apply (extra
+    # collections/params are ignored by flax).  Never used in production.
+    bn_mode: str = "bn"
 
     def _widths(self) -> Sequence[int]:
         return [int(f * self.alpha) for f in (16, 32, 64, 128, 256)]
@@ -133,7 +138,13 @@ class UNet(nn.Module):
                 x = nn.Dropout(rate=rate, deterministic=not train)(x)
             return x
 
-        bn = lambda: _bn(dt, self.bn_sync_axis)
+        if self.bn_mode == "skip":
+            class _NoBN:
+                def __call__(self, x, use_running_average=True):
+                    return x
+            bn = _NoBN
+        else:
+            bn = lambda: _bn(dt, self.bn_sync_axis)
 
         def enc_block(x, f1, f2, rate):
             x = act(_conv(f1, self.ks, dt)(x))
