@@ -50,6 +50,17 @@ VARIANTS = {
     "dot1x1+packedhead+denseinput": {"_CONV_IMPL": "dot1x1",
                                      "_PACKED_HEAD": True,
                                      "_DENSE_INPUT": True},
+    # remat: recompute the forward inside the backward (jax.checkpoint).
+    # Costs ~+1 forward (~44 ms at pop 15) but lets the backward consume
+    # freshly materialized activations in the layouts the conv
+    # dgrad/wgrad instructions demand — if the ~75 ms layout-copy tax is
+    # mostly saved-activation relayouts, this trades it away.
+    "remat": {"__remat__": True},
+    "dot1x1+remat": {"_CONV_IMPL": "dot1x1", "__remat__": True},
+    "dot1x1+packedhead+denseinput+remat": {"_CONV_IMPL": "dot1x1",
+                                           "_PACKED_HEAD": True,
+                                           "_DENSE_INPUT": True,
+                                           "__remat__": True},
 }
 DEFAULTS = {"_CONV_IMPL": "conv", "_WGRAD_DOT": False, "_POOL_SLICE": False,
             "_POOL_RESHAPE": False, "_POOL_EQMASK": False,
@@ -86,16 +97,23 @@ def main():
     results = {}
     for name in names:
         knobs = {**DEFAULTS, **VARIANTS[name]}
+        remat = knobs.pop("__remat__", False)
         for k, v in knobs.items():
             setattr(pu, k, v)
 
         @jax.jit
         def grad_step(carry, images):
-            def loss_fn(params):
-                probs, new_bs = pu.packed_unet_apply(
-                    {"params": params,
-                     "batch_stats": carry["v"]["batch_stats"]},
+            def fwd(params, batch_stats, images):
+                return pu.packed_unet_apply(
+                    {"params": params, "batch_stats": batch_stats},
                     images, train=True, **kw)
+
+            if remat:
+                fwd = jax.checkpoint(fwd)
+
+            def loss_fn(params):
+                probs, new_bs = fwd(params,
+                                    carry["v"]["batch_stats"], images)
                 return jnp.mean(jnp.square(probs - targets)), new_bs
 
             (l, new_bs), grads = jax.value_and_grad(
