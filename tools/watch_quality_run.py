@@ -25,6 +25,12 @@ Usage:
 stages default to the round-3 remainder: 12 10 14 13 08 06 07 05 collect.
 Exits 0 when the driver completes cleanly; gives up after
 IM_WATCH_MAX_RESTARTS (default 12) abnormal exits.
+
+The supervised driver defaults to tools/run_quality_proxy.py; set
+IM_WATCH_DRIVER (repo-relative or absolute path) to supervise another
+stage driver with the same resume contract (e.g.
+tools/run_quality_multiclass.py) and IM_WATCH_LOG to give it its own
+log file.
 """
 
 import os
@@ -34,7 +40,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOG = os.path.join(REPO, ".quality_r3_run.log")
+DRIVER = os.path.join(REPO, os.environ.get(
+    "IM_WATCH_DRIVER", os.path.join("tools", "run_quality_proxy.py")))
+LOG = os.path.join(REPO, os.environ.get("IM_WATCH_LOG",
+                                        ".quality_r3_run.log"))
 IDLE_LIMIT = float(os.environ.get("IM_WATCH_IDLE_MIN", "40")) * 60
 MAX_RESTARTS = int(os.environ.get("IM_WATCH_MAX_RESTARTS", "12"))
 POLL_S = 60
@@ -91,8 +100,7 @@ def launch(stages: list) -> subprocess.Popen:
     env.setdefault("IM_GENS", "0,1,2")
     logf = open(LOG, "ab", buffering=0)
     return subprocess.Popen(
-        [sys.executable, "-u",
-         os.path.join(REPO, "tools", "run_quality_proxy.py"), *stages],
+        [sys.executable, "-u", DRIVER, *stages],
         stdout=logf, stderr=subprocess.STDOUT, cwd=REPO, env=env)
 
 
