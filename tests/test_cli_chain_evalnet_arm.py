@@ -10,7 +10,11 @@ Covers:
   ISIC_2018/03..14), including the EvalNet ensemble + segnet loop and the
   adaptive-augmentation stages;
 - one non-ISIC IM+/IM++ chain (SUIM 04 -> 12 -> 13): the mIoU-EvalNet
-  on-the-fly arm (reference SUIM/13_SUIM_IM++.py) at CLI level.
+  on-the-fly arm (reference SUIM/13_SUIM_IM++.py) at CLI level;
+- the SUIM segnet loop (04 -> 11, reference
+  SUIM/11_SUIM_evalnet_miou_ensemble.py): classwise EvalNet datagen +
+  two-head training + detection-masked filtering + student retrain —
+  the exact chain the unattended multiclass quality run drives.
 """
 
 import configparser
@@ -131,4 +135,30 @@ def test_suim_im_plus_plus_chain(tmp_path):
     assert any("evalnet" in m and "_topK_" in m for m in models)
     assert any(c.startswith("results_SUIM_IM_plus_plus_1") for c in csvs)
     assert any(c.startswith("mean_im_size_SUIM_IM_plus_plus_1")
+               for c in csvs)
+
+
+def test_suim_evalnet_miou_ensemble_chain(tmp_path):
+    """SUIM 04 (LDT) -> 11 (evalnet_miou_ensemble): classwise-IoU+detection
+    datagen (reference functions.py:4248-4323), two-head EvalNet-mIoU
+    population training, detection-masked candidate filtering
+    (functions.py:5468-5577), and the segnet student retrain — through the
+    real zero-arg CLIs (reference SUIM/11_SUIM_evalnet_miou_ensemble.py)."""
+    from inconsistencymasks_tpu.data.synthetic import make_multiclass_dataset
+    base = str(tmp_path / "SUIM") + os.sep
+    # EvalNet towers have 6 maxpools -> need >=64 px inputs
+    make_multiclass_dataset(base, num_classes=8, h=64, w=64, n_labeled=6,
+                            n_val=4, n_test=4, n_unlabeled=4)
+    _link_train_full(base)
+    cfg = _write_cfg(tmp_path, "SUIM", base, 64, 64)
+    _run(os.path.join(REPO, "SUIM", "04_SUIM_subset.py"), cfg)
+    _run(os.path.join(REPO, "SUIM", "11_SUIM_evalnet_miou_ensemble.py"),
+         cfg)
+
+    models = os.listdir(os.path.join(base, "models"))
+    csvs = os.listdir(os.path.join(base, "csv"))
+    assert any(m.startswith("SUIM_evalnet_miou_1") and "_topK_" in m
+               for m in models)
+    assert any("segnet_1_n2_gen0" in m and "_topK_" in m for m in models)
+    assert any(c.startswith("results_SUIM_segnet_1_n2_gen0")
                for c in csvs)
