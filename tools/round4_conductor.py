@@ -8,16 +8,22 @@ run).  The remaining round-4 deliverables are serialized behind it:
   1. full CPU test suite green + recorded count   (VERDICT r3 next-#3)
   2. layout/perf sweep of the parked knobs        (VERDICT r3 next-#4)
      packedhead / denseinput / remat x dot1x1 (tools/bench_layout_variants)
-  3. fresh bench.py line with the winning default
-  4. multiclass (mIoU-arm) quality run on the SUIM-like proxy
-     (VERDICT r3 next-#2) under its own self-healing watchdog
+  3. BN-fold bound measurement                    (VERDICT r3 weak-#6)
+  4. fresh bench.py line with the current defaults
+  5. multiclass (mIoU-arm) quality run, gens 0-1  (VERDICT r3 next-#2)
+  6. gens 3-4 extension of the headline IM family (VERDICT r3 next-#5a)
+     09/11/12/14 resume per cell with IM_GENS=0..4
+  7. runid-2 replication of IM++/AIM++            (VERDICT r3 next-#5b)
+     03/04 seed runid 2, then 12/14 (runid-1 cells resume as no-ops)
 
-Each step logs to .r4_<step>.log in the repo root; the operator session
+Steps 5-7 run under their own self-healing watchdogs; whichever the
+round's wall clock cuts off resumes next round via cell_done.  Each
+step logs to .r4_<step>.log in the repo root; the operator session
 (whichever is alive) reads the logs and commits the docs.  The chain
 runs detached:
 
-    nohup python tools/round4_conductor.py > .r4_conductor.log 2>&1 &
-    echo $! > /tmp/conductor.pid
+    setsid nohup python -u tools/round4_conductor.py \
+        > .r4_conductor.log 2>&1 & echo $! > /tmp/conductor.pid
 """
 
 import os
@@ -80,6 +86,16 @@ def run(step, cmd, env=None, timeout=None):
     return rc
 
 
+def watched(step, driver, stages, extra_env):
+    """Run a stage driver under the self-healing watchdog, foreground."""
+    env = dict(os.environ, PYTHONUNBUFFERED="1",
+               IM_WATCH_DRIVER=driver,
+               IM_WATCH_LOG=f".r4_{step}_stages.log",
+               **extra_env)
+    return run(step, [sys.executable, "tools/watch_quality_run.py",
+                      *stages], env=env)
+
+
 def main():
     wait_for("/tmp/watchdog.pid")
 
@@ -91,22 +107,32 @@ def main():
     run("sweep", [sys.executable, "tools/bench_layout_variants.py",
                   *SWEEP_VARIANTS], timeout=3 * 3600)
 
-    # 3. headline bench line with current defaults
-    run("bench", [sys.executable, "bench.py"], timeout=3600)
+    # 3. BN-fold bound: is BN ~free at generation time? (ROADMAP item 3)
+    run("bnfold", [sys.executable, "tools/bench_bnfold.py"],
+        timeout=3600)
 
-    # 4. multiclass quality run under its own watchdog (detached enough:
-    #    we are already a daemon; just exec it in the foreground so OUR
-    #    pid file keeps meaning "round-4 chain still running").
-    env = dict(os.environ,
-               IM_WATCH_DRIVER=os.path.join("tools",
-                                            "run_quality_multiclass.py"),
-               IM_WATCH_LOG=".quality_mc_run.log",
-               IM_GENS="0,1",
-               PYTHONUNBUFFERED="1")
-    rc = run("mc", [sys.executable, "tools/watch_quality_run.py",
-                    "build", "04", "05", "10", "12", "13", "11", "collect"],
-             env=env)
-    note(f"chain complete (mc watchdog exit {rc})")
+    # 4. headline bench line with current defaults
+    run("bench", [sys.executable, "bench.py"], timeout=2 * 3600)
+
+    # 5. multiclass quality run (SUIM-like proxy, gens 0-1)
+    watched("mc", os.path.join("tools", "run_quality_multiclass.py"),
+            ["build", "04", "05", "10", "12", "13", "11", "collect"],
+            {"IM_GENS": "0,1"})
+
+    # 6. gens 3-4 extension of the headline binary strategies: every
+    #    gen<=2 cell resumes as a no-op, only gens 3-4 train.
+    watched("ext", os.path.join("tools", "run_quality_proxy.py"),
+            ["09", "11", "12", "14", "collect"],
+            {"IM_GENS": "0,1,2,3,4"})
+
+    # 7. runid-2 replication of the top-2 strategies (IM++/AIM++): 03/04
+    #    train the runid-2 LDT/ALDT seeds (runid-1 cells are done), then
+    #    12/14 replicate the headline trajectories.
+    watched("runid2", os.path.join("tools", "run_quality_proxy.py"),
+            ["03", "04", "12", "14", "collect"],
+            {"IM_GENS": "0,1,2", "IM_RUNIDS": "1,2"})
+
+    note("chain complete")
 
 
 if __name__ == "__main__":
