@@ -93,17 +93,17 @@ def classify(cell):
     return None
 
 
-def collect(csv_dir, extra_csv=None):
+def collect(csv_dir, extra_csvs=()):
     """-> ({strategy: {gen: test_iou}}, {baseline: test_iou}).
 
     Per (strategy, gen) the cell with the best top-1 VAL IoU wins (val
     selection across the n-grid, test reported) — the reference's rule.
-    ``extra_csv`` supplements cells from an earlier run of the same
-    protocol (``cell;top1_val;top1_test`` rows); strategies drawn entirely
-    from it are labeled with the supplement's source tag.
+    Each ``extra_csvs`` file supplements cells from an earlier run of the
+    same protocol (``cell;top1_val;top1_test`` rows); strategies drawn
+    entirely from supplements are labeled with their source tag.
     """
     items = [(c, vt, None) for c, vt in read_cells(csv_dir).items()]
-    if extra_csv:
+    for extra_csv in extra_csvs:
         tag = None
         with open(extra_csv) as f:
             for row in csv.reader(f, delimiter=";"):
@@ -139,8 +139,8 @@ def collect(csv_dir, extra_csv=None):
                      for k, (v, t, src) in bases.items()}
 
 
-def main(base, out, extra_csv=None):
-    lines, bases = collect(os.path.join(base, "csv"), extra_csv)
+def main(base, out, extra_csvs=()):
+    lines, bases = collect(os.path.join(base, "csv"), extra_csvs)
 
     def resolve(name):
         return next((k for k in lines
@@ -203,10 +203,10 @@ def main(base, out, extra_csv=None):
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    extra = None
-    if "--extra" in argv:
+    extras = []
+    while "--extra" in argv:
         i = argv.index("--extra")
-        extra = argv[i + 1]
+        extras.append(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     main(argv[0] if argv else "/root/repo/.quality_r3/ISIC_2018",
-         argv[1] if len(argv) > 1 else "quality_results.png", extra)
+         argv[1] if len(argv) > 1 else "quality_results.png", extras)
