@@ -11,10 +11,16 @@ run).  The remaining round-4 deliverables are serialized behind it:
   3. BN-fold bound measurement                    (VERDICT r3 weak-#6)
   4. fresh bench.py line with the current defaults
   5. multiclass (mIoU-arm) quality run, gens 0-1  (VERDICT r3 next-#2)
-  6. gens 3-4 extension of the headline IM family (VERDICT r3 next-#5a)
-     09/11/12/14 resume per cell with IM_GENS=0..4
-  7. runid-2 replication of IM++/AIM++            (VERDICT r3 next-#5b)
-     03/04 seed runid 2, then 12/14 (runid-1 cells resume as no-ops)
+  6. gens 3-4 extension of the strategies whose gens 0-2 artifacts
+     SURVIVE on disk — AIM++ (14) and AIM+ (13)   (VERDICT r3 next-#5a)
+     (IM/IM+/IM++ run-1/2 checkpoints were lost to the VM wipes; their
+     gens 0-2 numbers are recorded in QUALITY_r3.md + the supplement
+     CSVs, and re-training ~27 cells from scratch is not worth the chip
+     hours this round)
+  7. runid-2 replication of the flagship AIM++    (VERDICT r3 next-#5b)
+     03/04 train runid-2 seeds, then 14 (IM_RUNIDS=2: runid-1 cells
+     are untouched; IM++ replication would re-train its wiped runid-1
+     tree first, so the flagship stands in for the top-2 pair)
 
 Steps 5-7 run under their own self-healing watchdogs; whichever the
 round's wall clock cuts off resumes next round via cell_done.  Each
@@ -119,18 +125,17 @@ def main():
             ["build", "04", "05", "10", "12", "13", "11", "collect"],
             {"IM_GENS": "0,1"})
 
-    # 6. gens 3-4 extension of the headline binary strategies: every
-    #    gen<=2 cell resumes as a no-op, only gens 3-4 train.
+    # 6. gens 3-4 extension of the surviving headline strategies: AIM++
+    #    (n2) and AIM+ (n 2-4) gens 0-2 resume as no-ops, 3-4 train.
     watched("ext", os.path.join("tools", "run_quality_proxy.py"),
-            ["09", "11", "12", "14", "collect"],
+            ["14", "13", "collect"],
             {"IM_GENS": "0,1,2,3,4"})
 
-    # 7. runid-2 replication of the top-2 strategies (IM++/AIM++): 03/04
-    #    train the runid-2 LDT/ALDT seeds (runid-1 cells are done), then
-    #    12/14 replicate the headline trajectories.
+    # 7. runid-2 replication of the flagship: 03/04 train the runid-2
+    #    LDT/ALDT seeds, then 14 replicates the AIM++ trajectory.
     watched("runid2", os.path.join("tools", "run_quality_proxy.py"),
-            ["03", "04", "12", "14", "collect"],
-            {"IM_GENS": "0,1,2", "IM_RUNIDS": "1,2"})
+            ["03", "04", "14", "collect"],
+            {"IM_GENS": "0,1,2", "IM_RUNIDS": "2"})
 
     note("chain complete")
 
