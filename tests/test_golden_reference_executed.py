@@ -72,8 +72,15 @@ def _assert_margin(module, models, images_rgb, kind, margin):
 
 
 def _tree_equal(ref_dir, got_dir):
-    ref_names = sorted(os.listdir(ref_dir))
-    got_names = sorted(os.listdir(got_dir))
+    # a missing dir counts as empty: the reference writer mkdirs every
+    # subdir but may write nothing into it (multiclass filters all six
+    # toy images out of images/masks), and git cannot track empty dirs —
+    # a fresh checkout of the fixture legitimately lacks them
+    def names(d):
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    ref_names = names(ref_dir)
+    got_names = names(got_dir)
     assert ref_names == got_names, (ref_dir, ref_names, got_names)
     for n in ref_names:
         a = cv2.imread(os.path.join(ref_dir, n), cv2.IMREAD_UNCHANGED)
