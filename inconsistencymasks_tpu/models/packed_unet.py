@@ -95,6 +95,13 @@ def _block_diag_kernel(stacked_kernel: jnp.ndarray) -> jnp.ndarray:
 #   IM_CONV_IMPL=dot         every conv as sum of kh*kw shifted dots
 #                            (kxk pays kh*kw x operand re-reads)
 #   IM_CONV_IMPL=convdotbwd  conv forward, custom-vjp dot dgrad+wgrad
+#   IM_CONV_IMPL=groupconv   XLA native grouped conv over ALL P models
+#                            (feature_group_count=P): zero off-diagonal
+#                            FLOP waste, but each group's 8-channel
+#                            contraction pads to the MXU tile.  Round-1
+#                            measured the grouped lowering 2.4x slower
+#                            than unroll; ROADMAP #2 says re-test on
+#                            newer XLA — this knob is that re-test.
 #   IM_CONV_WGRAD_DOT=1      composable: conv forward+dgrad, dot wgrad
 # ---------------------------------------------------------------------------
 
@@ -242,6 +249,18 @@ def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int,
     kernel = conv_p["kernel"]
     bias = conv_p["bias"]
     p, kh, kw, cin, cout = kernel.shape
+    if _CONV_IMPL == "groupconv" and p > 1:
+        # One native grouped conv over all P models: rhs (kh,kw,Cin,P*Cout)
+        # group-major on the output channels, so output block i == model i
+        # — the same packed layout the block-diagonal form produces, with
+        # no off-diagonal zero FLOPs.
+        w = jnp.moveaxis(kernel.astype(dt), 0, 3).reshape(
+            kh, kw, cin, p * cout)
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=p)
+        return act(y + bias.reshape(-1).astype(dt))
     fused = (_CONV_IMPL == "pallasfused" and kh == 3 and kw == 3
              and act_name == "relu")
     sizes = _group_sizes(p, max(cin, cout), target)

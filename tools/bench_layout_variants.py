@@ -61,6 +61,15 @@ VARIANTS = {
                                            "_PACKED_HEAD": True,
                                            "_DENSE_INPUT": True,
                                            "__remat__": True},
+    # round-4 follow-ups: native grouped conv re-test (ROADMAP #2 says
+    # re-test on newer XLA) and pool-impl x remat cross terms (remat
+    # changes which saved activations the backward relayouts).
+    "groupconv": {"_CONV_IMPL": "groupconv"},
+    "groupconv+remat": {"_CONV_IMPL": "groupconv", "__remat__": True},
+    "dot1x1+remat+pool_slice": {"_CONV_IMPL": "dot1x1", "__remat__": True,
+                                "_POOL_SLICE": True},
+    "dot1x1+remat+packedhead": {"_CONV_IMPL": "dot1x1", "__remat__": True,
+                                "_PACKED_HEAD": True},
 }
 DEFAULTS = {"_CONV_IMPL": "conv", "_WGRAD_DOT": False, "_POOL_SLICE": False,
             "_POOL_RESHAPE": False, "_POOL_EQMASK": False,
@@ -84,6 +93,18 @@ def chain_time(fn, state, images, n1=4, n2=16):
 
 def main():
     names = sys.argv[1:] or list(VARIANTS)
+    # Already-running conductors pass a frozen argv list; variants added
+    # after their launch can still ride the same sweep (one process = one
+    # shared baseline) via this file, one name per line, run AFTER the
+    # argv names so a step timeout cuts the extras, not the core knobs.
+    extras = os.path.join(os.path.dirname(__file__), os.pardir,
+                          ".sweep_extra_variants")
+    if os.path.exists(extras):
+        with open(extras) as f:
+            for line in f:
+                name = line.split("#", 1)[0].strip()
+                if name and name in VARIANTS and name not in names:
+                    names.append(name)
     m = UNet(num_classes=1, alpha=0.5)
     stacked = init_population(m, HW, HW, 3, POP, base_seed=3)
     rng = np.random.RandomState(0)
