@@ -40,3 +40,21 @@ def test_tree_cpu_seconds_counts_busy_child():
         assert w.tree_cpu_seconds(p.pid) > 0.5
     finally:
         p.wait()
+
+
+def test_relay_ok_maps_subprocess_outcomes(monkeypatch):
+    """Probe semantics: rc 0 -> healthy; nonzero or timeout -> NOT healthy
+    (and never an exception — a hung probe must not crash the watchdog)."""
+    class R:
+        def __init__(self, rc):
+            self.returncode = rc
+
+    monkeypatch.setattr(w.subprocess, "run", lambda *a, **k: R(0))
+    assert w.relay_ok() is True
+    monkeypatch.setattr(w.subprocess, "run", lambda *a, **k: R(1))
+    assert w.relay_ok() is False
+
+    def boom(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+    monkeypatch.setattr(w.subprocess, "run", boom)
+    assert w.relay_ok() is False

@@ -15,10 +15,24 @@ not false positives:
   * the run log's mtime (training prints every epoch), AND
   * total CPU time of the driver's process tree (a working quiet phase
     encodes PNGs / feeds batches; a wedged one is frozen).
-Only when BOTH are idle past IM_WATCH_IDLE_MIN (default 40) is the tree
-killed (by explicit pid walk — never by name pattern) and the driver
-relaunched with the SAME stage list: completed stages/cells resume as
-no-ops.
+When BOTH are idle past IM_WATCH_PROBE_MIN (default 18 — ~3x the
+longest legit quiet gap, the ~6 min remote compile) a RELAY PROBE (a
+fresh subprocess running one tiny jitted op, CLAUDE.md's recovery
+recipe) decides the case:
+  * probe answers -> the relay is healthy but the driver is frozen on a
+    dead RPC: kill the tree (by explicit pid walk — never by name
+    pattern) and relaunch with the SAME stage list; completed
+    stages/cells resume as no-ops.
+  * probe hangs too (wedge #3's mode: the relay itself is down for ALL
+    clients) -> do NOT restart — a relaunched driver would hang at its
+    first op and burn a restart-budget slot; keep probing every 5 min
+    and restart the moment the relay answers.  Wedge #3 self-recovered
+    after ~14 min (stage resumed mid-epoch, no kill needed), and its
+    probes kept timing out even AFTER training resumed (client startup
+    queues behind active training) — so probe failure is never treated
+    as proof of relay death, only as "unsafe to restart now".
+IM_WATCH_IDLE_MIN (default 40) remains the probe-less fallback: past it
+the tree is killed even if the probe subprocess itself misbehaves.
 
 Usage:
     nohup python tools/watch_quality_run.py [stage ...] &
@@ -45,6 +59,9 @@ DRIVER = os.path.join(REPO, os.environ.get(
 LOG = os.path.join(REPO, os.environ.get("IM_WATCH_LOG",
                                         ".quality_r3_run.log"))
 IDLE_LIMIT = float(os.environ.get("IM_WATCH_IDLE_MIN", "40")) * 60
+PROBE_MIN = float(os.environ.get("IM_WATCH_PROBE_MIN", "18")) * 60
+PROBE_EVERY_S = 300
+PROBE_TIMEOUT_S = 150
 MAX_RESTARTS = int(os.environ.get("IM_WATCH_MAX_RESTARTS", "12"))
 POLL_S = 60
 # CPU-time growth below this over an idle window still counts as frozen
@@ -95,6 +112,24 @@ def kill_tree(pid: int) -> None:
             pass
 
 
+def relay_ok() -> bool:
+    """One tiny jitted op in a FRESH process — the CLAUDE.md wedge probe.
+
+    A healthy relay answers in seconds (plus ~15 s client startup); a
+    wedged one leaves the probe sleeping until the timeout kills it.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jax.jit(lambda a: (a @ a).sum())"
+             "(jnp.ones((128, 128)))))"],
+            timeout=PROBE_TIMEOUT_S, capture_output=True, cwd=REPO)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def launch(stages: list) -> subprocess.Popen:
     env = dict(os.environ, PYTHONUNBUFFERED="1")
     env.setdefault("IM_GENS", "0,1,2")
@@ -119,6 +154,7 @@ def main() -> int:
     note(f"supervising driver pid {proc.pid} stages {' '.join(stages)}")
     last_active = time.time()
     last_cpu = 0.0
+    last_probe = 0.0
     last_log_m = os.path.getmtime(LOG) if os.path.exists(LOG) else 0.0
     while True:
         time.sleep(POLL_S)
@@ -131,6 +167,10 @@ def main() -> int:
             if restarts > MAX_RESTARTS:
                 note(f"driver exit {rc}; restart budget exhausted")
                 return 1
+            while not relay_ok():
+                note(f"driver exit {rc}; relay probe hangs — waiting for "
+                     "the relay before relaunching")
+                time.sleep(PROBE_EVERY_S)
             note(f"driver exit {rc}; relaunch {restarts}/{MAX_RESTARTS}")
             proc = launch(stages)
             last_active, last_cpu = time.time(), 0.0
@@ -143,17 +183,31 @@ def main() -> int:
             last_cpu = max(last_cpu, cpu)
             continue
         idle = time.time() - last_active
-        if idle > IDLE_LIMIT:
-            restarts += 1
-            if restarts > MAX_RESTARTS:
-                note("wedge detected but restart budget exhausted")
-                return 1
-            note(f"wedge: log+CPU idle {idle / 60:.0f} min — killing tree, "
-                 f"relaunch {restarts}/{MAX_RESTARTS}")
-            kill_tree(proc.pid)
-            proc.wait()
-            proc = launch(stages)
-            last_active, last_cpu = time.time(), 0.0
+        if idle <= PROBE_MIN:
+            continue
+        if idle <= IDLE_LIMIT:
+            # Probe-gated fast path: restart only once the relay answers.
+            if time.time() - last_probe < PROBE_EVERY_S:
+                continue
+            last_probe = time.time()
+            if not relay_ok():
+                note(f"idle {idle / 60:.0f} min and relay probe hangs too "
+                     "— relay itself is down, holding off restart")
+                continue
+            reason = (f"wedge: log+CPU idle {idle / 60:.0f} min, relay "
+                      "probe answers — driver frozen on a dead RPC")
+        else:
+            reason = f"wedge: log+CPU idle {idle / 60:.0f} min (hard limit)"
+        restarts += 1
+        if restarts > MAX_RESTARTS:
+            note("wedge detected but restart budget exhausted")
+            return 1
+        note(f"{reason} — killing tree, "
+             f"relaunch {restarts}/{MAX_RESTARTS}")
+        kill_tree(proc.pid)
+        proc.wait()
+        proc = launch(stages)
+        last_active, last_cpu = time.time(), 0.0
 
 
 if __name__ == "__main__":
