@@ -532,3 +532,165 @@ def make_suim_like_dataset(base_dir: str, *, n_labeled: int = 274,
             name = f"SUIM_{split}_{i:05d}.png"
             _write(os.path.join(base_dir, split, "images", name), img)
             _write(os.path.join(base_dir, split, "masks", name), mask)
+
+
+# --------------------------------------------------------------------------
+# HeLa-like structured proxy (cell-culture arm quality runs)
+# --------------------------------------------------------------------------
+
+def make_hela_like_dataset(base_dir: str, *, n_train: int = 1700,
+                           n_val: int = 150, n_test: int = 250,
+                           labeled_frac: float = 0.10, h: int = 256,
+                           w: int = 256, seed: int = 42,
+                           difficulty: str = "hard") -> None:
+    """Structured brightfield cell-culture proxy in the reference HeLa
+    layout: per-split channel dirs brightfield / alive / dead / pos /
+    mod_position (reference paths.py:46-50; crops HeLa/00:20-224; 10/90
+    labeled split HeLa/01:30-57 is applied here directly so the numbered
+    scripts start from train_labeled+train_unlabeled like the production
+    tree).  The real micrograph archive is not redistributable (and this
+    environment has no network), so this drives the HeLa-arm CLIs — the
+    alive/dead/mod_pos 3-channel protocol, position-weighted loader,
+    mIoU_ad benchmark and cell-count eval — at the real task's crop size
+    and data-limited scale (BASELINE.md targets: LDT mIoU_ad ~0.512,
+    FDT ~0.693).
+
+    Appearance model (learnable, with variants so a ~170-crop labeled
+    split underfits while pseudo-data still helps — same design as
+    make_isic_like_dataset(difficulty='hard')):
+
+      * alive cells — larger irregular blobs (radial-harmonic outline),
+        dark textured interior with the brightfield halo ring, sometimes
+        touching in clusters (boundary ambiguity);
+      * dead cells  — small round high-contrast bodies (bright core,
+        dark rim), confusable with...
+      * debris      — faint specks/blobs in NEITHER mask, plus
+        illumination gradients, defocus blur and sensor noise whose
+        strength scales with ``difficulty`` ('easy'|'hard'|'extreme').
+
+    pos = radius-3 centre discs for every cell (both kinds); mod_position
+    redraws them with radius clamp(min_dist//4, 3, 8) — the reference's
+    mod_pos_size rule (HeLa/00:149-196, postproc/hela.py:57-69) computed
+    from the exact generator centres.
+    """
+    rng = np.random.RandomState(seed)
+    level = {"easy": 0.6, "hard": 1.0, "extreme": 1.4}[difficulty]
+
+    def cell_outline(cy, cx, r, elong, ang, n_harm_max=5):
+        thetas = np.linspace(0, 2 * np.pi, 48, endpoint=False)
+        rr = np.full_like(thetas, float(r))
+        for k, a, p in zip(rng.randint(2, 7, n_harm_max),
+                           rng.uniform(0.04, 0.18, n_harm_max) * r,
+                           rng.uniform(0, 2 * np.pi, n_harm_max)):
+            rr = rr + a * np.sin(k * thetas + p)
+        ex = rr * (1 + elong * np.cos(thetas - ang))
+        ey = rr * (1 - elong * np.cos(thetas - ang))
+        pts = np.stack([cx + ex * np.cos(thetas), cy + ey * np.sin(thetas)],
+                       axis=-1).astype(np.int32)
+        return pts
+
+    def sample():
+        # illumination: base gray + directional gradient + low-freq field
+        base = rng.uniform(105, 150)
+        gy, gx = rng.uniform(-1, 1, 2) * rng.uniform(5, 18) * level
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = (base + gy * (yy / h - 0.5) + gx * (xx / w - 0.5)
+               + cv2.resize(rng.randn(6, 6).astype(np.float32)
+                            * 6 * level, (w, h),
+                            interpolation=cv2.INTER_CUBIC))
+        alive = np.zeros((h, w), np.uint8)
+        dead = np.zeros((h, w), np.uint8)
+        centers = []                      # (x, y, kind)
+        contrast = rng.uniform(0.55, 1.0) if level >= 1 else 1.0
+
+        # clustered alive cells: a few cluster anchors, cells around them
+        n_alive = rng.randint(3, 11)
+        anchors = [(rng.randint(20, h - 20), rng.randint(20, w - 20))
+                   for _ in range(max(1, n_alive // 3))]
+        for _ in range(n_alive):
+            ay, ax = anchors[rng.randint(len(anchors))]
+            cy = int(np.clip(ay + rng.randn() * 26, 14, h - 14))
+            cx = int(np.clip(ax + rng.randn() * 26, 14, w - 14))
+            r = rng.uniform(11, 26)
+            pts = cell_outline(cy, cx, r, rng.uniform(0.05, 0.35),
+                               rng.uniform(0, np.pi))
+            m = np.zeros((h, w), np.uint8)
+            cv2.fillPoly(m, [pts], 255)
+            # brightfield look: dark cytoplasm, darker nucleus, bright halo
+            halo = cv2.dilate(m, np.ones((5, 5), np.uint8)) & ~m
+            interior = m > 0
+            img[interior] -= rng.uniform(14, 30) * contrast
+            img[halo > 0] += rng.uniform(18, 38) * contrast
+            nx = int(np.clip(cx + rng.randn() * r * 0.25, 0, w - 1))
+            ny = int(np.clip(cy + rng.randn() * r * 0.25, 0, h - 1))
+            cv2.circle(img, (nx, ny), max(2, int(r * 0.35)),
+                       float(img[interior].mean()
+                             - rng.uniform(10, 22) * contrast), -1)
+            img[interior] += rng.randn(int(interior.sum())) * 5 * level
+            alive |= m
+            centers.append((cx, cy))
+        n_centers_alive = len(centers)
+
+        # dead cells: small, round, bright core + dark rim
+        for _ in range(rng.randint(1, 6)):
+            cy, cx = rng.randint(10, h - 10), rng.randint(10, w - 10)
+            r = rng.randint(4, 11)
+            m = np.zeros((h, w), np.uint8)
+            cv2.circle(m, (cx, cy), r, 255, -1)
+            rim = cv2.dilate(m, np.ones((3, 3), np.uint8)) & ~m
+            img[m > 0] = (img[m > 0]
+                          + rng.uniform(28, 55) * contrast)
+            img[rim > 0] -= rng.uniform(20, 40) * contrast
+            img[m > 0] += rng.randn(int((m > 0).sum())) * 6 * level
+            dead |= m
+            centers.append((cx, cy))
+
+        # debris: faint confusers in neither mask
+        for _ in range(rng.randint(2, int(5 + 6 * level))):
+            cy, cx = rng.randint(0, h), rng.randint(0, w)
+            r = rng.randint(2, 7)
+            sgn = 1 if rng.rand() < 0.5 else -1
+            cv2.circle(img, (cx, cy), r,
+                       float(base + sgn * rng.uniform(10, 26) * level), -1)
+
+        # defocus + sensor noise
+        k = rng.choice([1, 1, 3, 3, 5]) if level >= 1 else 1
+        if k > 1:
+            img = cv2.GaussianBlur(img, (k, k), 0)
+        img += rng.randn(h, w) * rng.uniform(3, 9) * level
+        img = np.clip(img, 0, 255).astype(np.uint8)
+
+        # pos (radius 3) and mod_position (min-dist clamped radius)
+        pos = np.zeros((h, w), np.uint8)
+        mod = np.zeros((h, w), np.uint8)
+        for cx, cy in centers:
+            cv2.circle(pos, (cx, cy), 3, 255, -1)
+            dists = [np.hypot(cx - ox, cy - oy) for ox, oy in centers
+                     if (ox, oy) != (cx, cy)]
+            md = min(dists) if dists else 10 ** 9
+            cv2.circle(mod, (cx, cy),
+                       max(min(int(md // 4), 8), 3), 255, -1)
+        # overlap convention: a pixel in both channels counts as alive
+        # (alive drawn first, dead may overdraw the image but masks stay
+        # independent unions as in the reference annotations)
+        return img, alive, dead, pos, mod, n_centers_alive
+
+    n_labeled = int(n_train * labeled_frac)
+    order = rng.permutation(n_train)
+    labeled_ids = set(order[:n_labeled].tolist())
+    splits = [("train", n_train, 0), ("val", n_val, 10 ** 6),
+              ("test", n_test, 2 * 10 ** 6)]
+    for split, n, off in splits:
+        for i in range(n):
+            img, alive, dead, pos, mod, _ = sample()
+            if split == "train":
+                sp = "train_labeled" if i in labeled_ids \
+                    else "train_unlabeled"
+            else:
+                sp = split
+            name = f"HELA_{off + i:07d}.png"
+            _write(os.path.join(base_dir, sp, "brightfield", name), img)
+            _write(os.path.join(base_dir, sp, "alive", name), alive)
+            _write(os.path.join(base_dir, sp, "dead", name), dead)
+            _write(os.path.join(base_dir, sp, "pos", name), pos)
+            _write(os.path.join(base_dir, sp, "mod_position", name), mod)

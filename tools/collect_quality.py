@@ -27,8 +27,12 @@ def _read_rows(csv_dir):
         header, body = r[0], r[1:]
         if "mIoU_val" not in header:
             continue
-        iv = header.index("mIoU_val")
-        it = header.index("mIoU_test")
+        # HeLa cells rank by the alive/dead mIoU (the reference's headline
+        # HeLa metric; BASELINE.md LDT mIoU_ad ~0.512) when present.
+        iv = header.index("mIoU_ad_val" if "mIoU_ad_val" in header
+                          else "mIoU_val")
+        it = header.index("mIoU_ad_test" if "mIoU_ad_test" in header
+                          else "mIoU_test")
         body = [b for b in body if len(b) > max(iv, it)]
         if not body:
             continue
