@@ -193,6 +193,11 @@ def main() -> int:
             if not relay_ok():
                 note(f"idle {idle / 60:.0f} min and relay probe hangs too "
                      "— relay itself is down, holding off restart")
+                # note() wrote to LOG: refresh last_log_m so our own write
+                # doesn't reset the idle clock (else the next probe slips
+                # from PROBE_EVERY_S to a full PROBE_MIN away).
+                last_log_m = (os.path.getmtime(LOG)
+                              if os.path.exists(LOG) else 0.0)
                 continue
             reason = (f"wedge: log+CPU idle {idle / 60:.0f} min, relay "
                       "probe answers — driver frozen on a dead RPC")
