@@ -52,9 +52,25 @@ def main():
     while True:
         why = r4d_done()
         if why:
-            note(f"r4d finished ({why}) — starting HeLa-arm run")
+            note(f"r4d finished ({why}) — starting round-4e steps")
             break
         time.sleep(POLL_S)
+
+    # 0. grouped-conv re-test (ROADMAP #2: round-1 measured XLA's grouped
+    # lowering 2.4x slower than unroll — re-test on current XLA), trimmed
+    # out of the r4d sweep; two variants, ~10 min.
+    sweep_log = os.path.join(REPO, ".r4e_sweep.log")
+    cmd = [sys.executable, "tools/bench_layout_variants.py",
+           "groupconv", "groupconv+remat"]
+    note(f"step sweep: {' '.join(cmd)} -> {sweep_log}")
+    with open(sweep_log, "ab", buffering=0) as f:
+        f.write(f"== {time.strftime('%F %T')} {' '.join(cmd)}\n".encode())
+        try:
+            rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                                cwd=REPO, timeout=3600).returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+    note(f"step sweep: exit {rc}")
 
     env = dict(os.environ, PYTHONUNBUFFERED="1",
                IM_WATCH_DRIVER=os.path.join("tools", "run_quality_hela.py"),
