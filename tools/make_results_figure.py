@@ -139,7 +139,7 @@ def collect(csv_dir, extra_csvs=()):
                      for k, (v, t, src) in bases.items()}
 
 
-def main(base, out, extra_csvs=()):
+def main(base, out, extra_csvs=(), suptitle=None):
     lines, bases = collect(os.path.join(base, "csv"), extra_csvs)
 
     def resolve(name):
@@ -193,9 +193,11 @@ def main(base, out, extra_csvs=()):
         ax.spines["bottom"].set_color(GRID)
     axes[0].set_ylabel("top-1 test IoU (selected by val IoU)", color=INK_2,
                        fontsize=9)
-    fig.suptitle("SSL strategy quality on the hard ISIC-scale proxy\n"
-                 "(real CLIs, reference populations/epochs, TPU v5e)",
-                 color=INK, fontsize=11, x=0.02, ha="left")
+    if suptitle is None:
+        ds = os.path.basename(os.path.normpath(base))
+        suptitle = (f"SSL strategy quality on the hard {ds} proxy\n"
+                    "(real CLIs, reference populations/epochs, TPU v5e)")
+    fig.suptitle(suptitle, color=INK, fontsize=11, x=0.02, ha="left")
     fig.tight_layout(rect=(0, 0, 1, 0.90))
     fig.savefig(out, dpi=160, facecolor=SURFACE)
     print(f"wrote {out}")
@@ -208,5 +210,11 @@ if __name__ == "__main__":
         i = argv.index("--extra")
         extras.append(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    title = None
+    if "--title" in argv:
+        i = argv.index("--title")
+        title = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     main(argv[0] if argv else "/root/repo/.quality_r3/ISIC_2018",
-         argv[1] if len(argv) > 1 else "quality_results.png", extras)
+         argv[1] if len(argv) > 1 else "quality_results.png", extras,
+         suptitle=title)
