@@ -694,3 +694,419 @@ def make_hela_like_dataset(base_dir: str, *, n_train: int = 1700,
             _write(os.path.join(base_dir, sp, "dead", name), dead)
             _write(os.path.join(base_dir, sp, "pos", name), pos)
             _write(os.path.join(base_dir, sp, "mod_position", name), mod)
+
+
+# --------------------------------------------------------------------------
+# Cityscapes-like structured proxy (street-scene mIoU-arm quality runs)
+# --------------------------------------------------------------------------
+
+def make_cityscapes_like_dataset(base_dir: str, *, n_train: int = 2975,
+                                 n_val: int = 250, n_test: int = 250,
+                                 labeled_frac: float = 0.10, h: int = 208,
+                                 w: int = 416, seed: int = 42,
+                                 difficulty: str = "hard") -> None:
+    """Structured street-scene proxy at the real Cityscapes task's scale
+    and class convention: 208x416 crops (reference config.ini [CITYSCAPES]
+    via Cityscapes/00_Cityscapes_resize_images_and_masks.py:20-35's 0.2x
+    resize), 2975-image train set split 10/90 labeled/unlabeled and the
+    500-image val set split 50/50 into val/test
+    (Cityscapes/01_Cityscapes_split_original_train_val.py:49-62), masks as
+    single-channel class-id PNGs in the SHIFTED 35-class convention where
+    class 0 is reserved for IM and every gtFine id moves up one
+    (Cityscapes_class_mapping.py:42-120: 1 unlabeled, 2 ego vehicle,
+    8 road, 9 sidewalk, 10 parking, 12 building, 13 wall, 14 fence,
+    18 pole, 20 traffic light, 21 traffic sign, 22 vegetation, 23 terrain,
+    24 sky, 25 person, 26 rider, 27 car, 28 truck, 29 bus, 33 motorcycle,
+    34 bicycle).  The real archive needs a license + network access this
+    environment lacks; this proxy drives the Cityscapes-arm CLIs (blocked
+    IO, softmax head, mIoU benchmark) at the real task's data-limited
+    scale (BASELINE.md panel-4 targets: LDT ~0.310, ALDT ~0.372,
+    FDT ~0.453, IM++ gen 5 ~0.425).
+
+    Scene model (learnable, variant-rich so a ~297-crop labeled split
+    underfits while pseudo-data still helps — same design as
+    make_suim_like_dataset):
+
+      * perspective geometry: horizon + vanishing point, road trapezoid
+        (8) with lane paint, flanking sidewalks (9), occasional parking
+        strips (10) in the road pigment family — slab/lane texture is
+        the cue;
+      * side bands drawn per-side from {building facade with window
+        grids (12), plain wall (13), slatted fence (14), vegetation
+        (22), terrain (23)} — facades/walls/fences share a gray-brown
+        pigment family, texture is the tell;
+      * sky (24) with clouds; tree canopies (22) overhang the skyline;
+      * traffic: cars (27) with cabin/wheels, trucks (28), buses (29),
+        scaled by perspective depth; persons (25) on sidewalks, riders
+        (26) over bicycles (34) / motorcycles (33); poles (18) carrying
+        traffic lights (20) / signs (21);
+      * the ego-vehicle hood (2) arcs across the bottom of most frames,
+        exactly as in the real gtFine masks.
+
+    Ambiguity (what keeps LDT near the real ~0.310 mIoU): depth haze
+    fades every object toward the sky colour, time-of-day tint/exposure
+    shift whole frames, small far objects (persons, poles, signs) sit at
+    the 208x416 resolution limit, and the shared pigment families above
+    force texture cues.  ``difficulty``: 'easy' | 'hard' | 'extreme'
+    scales haze, noise and variant spread.
+    """
+    rng = np.random.RandomState(seed)
+    level = {"easy": 0.5, "hard": 1.0, "extreme": 1.4}[difficulty]
+
+    skies = [np.array([235, 205, 170]), np.array([215, 200, 190]),
+             np.array([185, 170, 160]), np.array([205, 215, 235]),
+             np.array([240, 230, 225])]              # BGR
+    asphalts = [np.array([95, 92, 90]), np.array([115, 112, 110]),
+                np.array([80, 78, 76]), np.array([105, 100, 95])]
+    pavings = [np.array([150, 145, 140]), np.array([165, 160, 158]),
+               np.array([135, 128, 122]), np.array([170, 172, 175])]
+    facades = [np.array([145, 145, 150]), np.array([70, 80, 150]),
+               np.array([150, 170, 185]), np.array([110, 112, 115]),
+               np.array([95, 130, 160]), np.array([160, 150, 135])]
+    greens = [np.array([45, 105, 55]), np.array([55, 130, 70]),
+              np.array([35, 85, 45]), np.array([70, 140, 95])]
+    grasses = [np.array([70, 140, 110]), np.array([60, 120, 90]),
+               np.array([80, 150, 120])]
+    car_cols = [np.array([230, 230, 230]), np.array([40, 40, 40]),
+                np.array([175, 175, 170]), np.array([50, 50, 180]),
+                np.array([150, 80, 40]), np.array([90, 60, 50])]
+
+    def sample():
+        sky = skies[rng.randint(len(skies))] + rng.uniform(-15, 15, 3)
+        tint = 1 + rng.uniform(-0.12, 0.12, 3) * level   # time-of-day
+        expo = rng.uniform(0.8, 1.15)
+        haze = rng.uniform(0.25, 0.75) * level
+        y_h = int(rng.uniform(0.38, 0.52) * h)
+        vx = int(w / 2 + rng.uniform(-w / 6, w / 6))
+        rw_b = rng.uniform(0.30, 0.48) * w               # road half-width
+
+        img = np.empty((h, w, 3), np.float32)
+        mask = np.ones((h, w), np.uint8)                 # 1 = unlabeled
+        yy = np.arange(h, dtype=np.float32)[:, None, None]
+
+        def s_of(y):                                     # perspective depth
+            return float(np.clip((y - y_h) / (h - y_h), 0.06, 1.0))
+
+        def fade(col, y):
+            """Depth haze: fade toward the sky colour near the horizon."""
+            a = np.clip((1 - s_of(y)) * haze, 0, 0.85)
+            return np.asarray(col, np.float32) * (1 - a) + sky * a
+
+        # --- sky ---------------------------------------------------------
+        img[:] = sky * (0.85 + 0.3 * (1 - yy / h))
+        for _ in range(rng.randint(0, 5)):               # clouds
+            cx_, cy_ = rng.randint(0, w), rng.randint(0, max(y_h - 8, 1))
+            ax = rng.randint(20, 90)
+            cv2.ellipse(img, (cx_, cy_), (ax, max(ax // 3, 6)),
+                        rng.uniform(-8, 8), 0, 360,
+                        tuple(float(c) for c in
+                              np.clip(sky + rng.uniform(8, 30), 0, 255)), -1)
+        mask[:y_h] = 24
+
+        # --- road trapezoid ----------------------------------------------
+        asphalt = asphalts[rng.randint(len(asphalts))] + rng.uniform(-8, 8, 3)
+        road = np.array([[vx - rw_b, h], [vx + rw_b, h], [vx + 2, y_h],
+                         [vx - 2, y_h]], np.int32)
+        m = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(m, [road], 255)
+        for y in range(y_h, h):                          # hazed asphalt rows
+            row = (m[y] > 0)
+            if row.any():
+                img[y, row] = fade(asphalt, y) + rng.randn(int(row.sum()),
+                                                           3) * 6
+        mask[m > 0] = 8
+        # lane paint (stays class 8 — painted road)
+        lane = np.clip(asphalt + rng.uniform(90, 130), 0, 255)
+        for fr in ([0.0] if rng.rand() < 0.7 else [-0.45, 0.45]):
+            for t in np.arange(0.04, 1.0, 0.12):
+                y0 = int(y_h + t * (h - y_h))
+                y1 = min(int(y0 + 0.05 * (h - y_h)), h - 1)
+                x0 = int(vx + fr * rw_b * s_of(y0))
+                x1 = int(vx + fr * rw_b * s_of(y1))
+                cv2.line(img, (x0, y0), (x1, y1),
+                         tuple(float(c) for c in fade(lane, y0)),
+                         max(1, int(2 * s_of(y0))))
+
+        # --- sidewalks + side bands ---------------------------------------
+        paving = pavings[rng.randint(len(pavings))] + rng.uniform(-8, 8, 3)
+        sw = rng.uniform(0.10, 0.22) * w
+        for side in (-1, 1):
+            edge_b = vx + side * rw_b
+            walk = np.array([[edge_b, h], [edge_b + side * sw, h],
+                             [vx + side * 6, y_h], [vx + side * 2, y_h]],
+                            np.int32)
+            m = np.zeros((h, w), np.uint8)
+            cv2.fillPoly(m, [walk], 255)
+            for y in range(y_h, h):
+                row = (m[y] > 0) & (mask[y] != 8)
+                if row.any():
+                    img[y, row] = fade(paving, y) + rng.randn(
+                        int(row.sum()), 3) * 5
+            sel = (m > 0) & (mask != 8)
+            mask[sel] = 9
+            # slab joints — the sidewalk-vs-parking texture cue
+            for t in np.arange(0.05, 1.0, 0.09):
+                y0 = int(y_h + t * (h - y_h))
+                x0 = int(vx + side * (rw_b * s_of(y0)))
+                x1 = int(vx + side * (rw_b + sw) * s_of(y0))
+                cv2.line(img, (x0, y0), (x1, y0),
+                         tuple(float(c) for c in fade(paving * 0.8, y0)), 1)
+
+        # parking strip: road pigment ON the walk side (texture-free)
+        if rng.rand() < 0.25:
+            side = -1 if rng.rand() < 0.5 else 1
+            y0 = rng.randint(y_h + (h - y_h) // 3, h - 8)
+            pk = np.array(
+                [[vx + side * rw_b * s_of(y0), y0],
+                 [vx + side * (rw_b + 0.7 * sw) * s_of(y0), y0],
+                 [vx + side * (rw_b + 0.7 * sw), h], [vx + side * rw_b, h]],
+                np.int32)
+            m = np.zeros((h, w), np.uint8)
+            cv2.fillPoly(m, [pk], 255)
+            sel = m > 0
+            img[sel] = fade(asphalt + rng.uniform(-5, 5), (y0 + h) // 2) \
+                + rng.randn(int(sel.sum()), 3) * 6
+            mask[sel] = 10
+
+        # --- per-side band beyond the sidewalk -----------------------------
+        def band(side):
+            kind = rng.choice(["building", "wall", "fence", "veg",
+                               "terrain"],
+                              p=[0.42, 0.12, 0.12, 0.2, 0.14])
+            x_out = 0 if side < 0 else w
+            base = np.array([[vx + side * (rw_b + sw), h],
+                             [x_out, h], [x_out, y_h],
+                             [vx + side * 6, y_h]], np.int32)
+            m = np.zeros((h, w), np.uint8)
+            cv2.fillPoly(m, [base], 255)
+            m[(mask != 1) & (mask != 24)] = 0            # keep road/walk
+            sel = m > 0
+            if not sel.any():
+                return
+            ys = np.where(sel.any(axis=1))[0]
+            ymid = int(ys.mean())
+            if kind in ("building", "wall", "fence"):
+                col = facades[rng.randint(len(facades))] \
+                    + rng.uniform(-12, 12, 3)
+                img[sel] = fade(col, ymid) + rng.randn(int(sel.sum()),
+                                                       3) * 6
+                cls = {"building": 12, "wall": 13, "fence": 14}[kind]
+                mask[sel] = cls
+                if kind == "building":
+                    # skyline block + window grid
+                    top = max(y_h - rng.randint(h // 8, h // 3), 2)
+                    xb0 = 0 if side < 0 else vx + 10
+                    xb1 = vx - 10 if side < 0 else w
+                    if xb1 > xb0:
+                        blk = np.zeros((h, w), np.uint8)
+                        cv2.rectangle(blk, (xb0, top), (xb1, y_h), 255, -1)
+                        bsel = (blk > 0) & (mask == 24)
+                        img[bsel] = fade(col, y_h) + rng.randn(
+                            int(bsel.sum()), 3) * 5
+                        mask[bsel] = 12
+                        sel = sel | bsel
+                    dark = tuple(float(c) for c in
+                                 np.clip(col * 0.45, 0, 255))
+                    step = rng.randint(8, 16)
+                    ys2, xs2 = np.where(sel)
+                    if len(ys2):
+                        for wy in range(ys2.min() + 3, ys2.max() - 2, step):
+                            for wx in range(xs2.min() + 3, xs2.max() - 2,
+                                            step):
+                                if sel[wy, wx]:
+                                    cv2.rectangle(
+                                        img, (wx, wy),
+                                        (wx + step // 3, wy + step // 2),
+                                        dark, -1)
+                elif kind == "fence":
+                    # vertical slats — the fence-vs-wall cue
+                    dark = tuple(float(c) for c in
+                                 np.clip(col * 0.55, 0, 255))
+                    ys2, xs2 = np.where(sel)
+                    for fx in range(xs2.min(), xs2.max(),
+                                    rng.randint(4, 8)):
+                        cv2.line(img, (fx, ys2.min()), (fx, ys2.max()),
+                                 dark, 1)
+            else:
+                col0 = (greens if kind == "veg"
+                        else grasses)[rng.randint(len(greens if kind ==
+                                                      "veg" else grasses))]
+                img[sel] = fade(col0 + rng.uniform(-12, 12, 3), ymid) \
+                    + rng.randn(int(sel.sum()), 3) * (14 if kind == "veg"
+                                                      else 8)
+                mask[sel] = 22 if kind == "veg" else 23
+
+        band(-1)
+        band(1)
+
+        # --- tree canopies over the skyline --------------------------------
+        for _ in range(rng.randint(0, 4)):
+            side = -1 if rng.rand() < 0.5 else 1
+            cx_ = int(np.clip(vx + side * rng.uniform(0.25, 0.55) * w,
+                              5, w - 5))
+            cy_ = y_h - rng.randint(0, h // 6)
+            r = rng.randint(h // 10, h // 4)
+            m = np.zeros((h, w), np.uint8)
+            for _ in range(rng.randint(3, 7)):
+                m |= _poly_mask(rng, h, w, cy_ + rng.randint(-r, r) // 2,
+                                cx_ + rng.randint(-r, r), max(r // 2, 4))
+            col = fade(greens[rng.randint(len(greens))]
+                       + rng.uniform(-12, 12, 3), y_h)
+            sel = m > 0
+            img[sel] = col + rng.randn(int(sel.sum()), 3) * 16
+            mask[sel] = 22
+
+        # --- traffic (far to near so near occludes far) ---------------------
+        def draw_vehicle(y):
+            s = s_of(y)
+            kind = rng.choice(["car", "car", "car", "truck", "bus"])
+            x = int(vx + rng.uniform(-0.75, 0.75) * rw_b * s)
+            col = car_cols[rng.randint(len(car_cols))] \
+                + rng.uniform(-10, 10, 3)
+            if kind == "car":
+                bw, bh = int(s * rng.uniform(45, 80)), int(s * rng.uniform(
+                    22, 34))
+                cls = 27
+            elif kind == "truck":
+                bw, bh = int(s * rng.uniform(60, 100)), int(s * rng.uniform(
+                    38, 55))
+                cls = 28
+            else:
+                bw, bh = int(s * rng.uniform(90, 150)), int(s * rng.uniform(
+                    40, 60))
+                cls = 29
+            if bw < 4 or bh < 3:
+                return
+            x0, x1 = x - bw // 2, x + bw // 2
+            y0, y1 = y - bh, y
+            m = np.zeros((h, w), np.uint8)
+            cv2.rectangle(m, (x0, y0), (x1, y1), 255, -1)
+            # cabin / roof
+            cv2.rectangle(m, (x0 + bw // 6, y0 - bh // 2),
+                          (x1 - bw // 6, y0), 255, -1)
+            sel = m > 0
+            img[sel] = fade(col, y) + rng.randn(int(sel.sum()), 3) * 4
+            mask[sel] = cls
+            # windows + wheels (appearance only)
+            winc = tuple(float(c) for c in fade(col * 0.35, y))
+            cv2.rectangle(img, (x0 + bw // 5, y0 - bh // 2 + 1),
+                          (x1 - bw // 5, y0 - 1), winc, -1)
+            for wxp in (x0 + bw // 5, x1 - bw // 5):
+                cv2.circle(img, (wxp, y1), max(bh // 6, 1), (25, 25, 25),
+                           -1)
+
+        def draw_person(y, on_bike=False):
+            s = s_of(y)
+            side = -1 if rng.rand() < 0.5 else 1
+            x = int(np.clip(vx + side * (rw_b + rng.uniform(0.2, 0.8) * sw)
+                            * s, 3, w - 4))
+            ph = int(s * rng.uniform(26, 42))
+            if ph < 5:
+                return
+            col = fade(np.array([rng.uniform(20, 120) for _ in range(3)]),
+                       y)
+            m = np.zeros((h, w), np.uint8)
+            pw = max(ph // 4, 1)
+            if on_bike:
+                bcls = 34 if rng.rand() < 0.7 else 33
+                bl = int(ph * 0.9)
+                bm = np.zeros((h, w), np.uint8)
+                for wxp in (x - bl // 3, x + bl // 3):
+                    cv2.circle(bm, (wxp, y), max(ph // 5, 2), 255,
+                               max(ph // 10, 1))
+                cv2.line(bm, (x - bl // 3, y), (x + bl // 3, y), 255,
+                         max(ph // 12, 1))
+                bsel = bm > 0
+                img[bsel] = fade(np.array([40, 40, 40]), y) \
+                    + rng.randn(int(bsel.sum()), 3) * 3
+                mask[bsel] = bcls
+                y = y - ph // 4                       # rider sits higher
+            cv2.rectangle(m, (x - pw, y - ph + ph // 4), (x + pw, y), 255,
+                          -1)
+            cv2.circle(m, (x, y - ph + ph // 8), max(ph // 7, 1), 255, -1)
+            sel = m > 0
+            img[sel] = col + rng.randn(int(sel.sum()), 3) * 5
+            mask[sel] = 26 if on_bike else 25
+
+        def draw_pole(y):
+            s = s_of(y)
+            side = -1 if rng.rand() < 0.5 else 1
+            x = int(np.clip(vx + side * rw_b * s + side * 2, 2, w - 3))
+            ph = int(s * rng.uniform(45, 85))
+            if ph < 6:
+                return
+            top = y - ph
+            pc = tuple(float(c) for c in fade(np.array([90, 90, 90]), y))
+            m = np.zeros((h, w), np.uint8)
+            cv2.line(m, (x, y), (x, top), 255, max(int(2 * s), 1))
+            sel = m > 0
+            img[sel] = np.asarray(pc, np.float32) + rng.randn(
+                int(sel.sum()), 3) * 3
+            mask[sel] = 18
+            r = rng.rand()
+            if r < 0.3:                               # traffic light box
+                bw_, bh_ = max(int(3 * s), 2), max(int(8 * s), 3)
+                mm = np.zeros((h, w), np.uint8)
+                cv2.rectangle(mm, (x - bw_, top - bh_), (x + bw_, top),
+                              255, -1)
+                ssel = mm > 0
+                img[ssel] = fade(np.array([30, 30, 30]), y)
+                mask[ssel] = 20
+                lit = [(60, 60, 230), (60, 200, 240), (80, 200, 60)][
+                    rng.randint(3)]
+                cv2.circle(img, (x, top - bh_ // 2), max(int(1.5 * s), 1),
+                           lit, -1)
+            elif r < 0.65:                            # sign plate
+                rad = max(int(5 * s), 2)
+                mm = np.zeros((h, w), np.uint8)
+                if rng.rand() < 0.5:
+                    cv2.circle(mm, (x, top), rad, 255, -1)
+                else:
+                    pts = np.array([[x - rad, top + rad], [x + rad,
+                                                           top + rad],
+                                    [x, top - rad]], np.int32)
+                    cv2.fillPoly(mm, [pts], 255)
+                ssel = mm > 0
+                sc = [(60, 60, 220), (230, 200, 60), (200, 220, 230)][
+                    rng.randint(3)]
+                img[ssel] = fade(np.array(sc, np.float32), y) \
+                    + rng.randn(int(ssel.sum()), 3) * 4
+                mask[ssel] = 21
+
+        ys_obj = sorted(rng.randint(y_h + 4, h - 2,
+                                    rng.randint(2, 9)).tolist())
+        for y in ys_obj:                              # far -> near
+            r = rng.rand()
+            if r < 0.45:
+                draw_vehicle(y)
+            elif r < 0.7:
+                draw_person(y, on_bike=rng.rand() < 0.25)
+            else:
+                draw_pole(y)
+
+        # --- ego-vehicle hood ----------------------------------------------
+        if rng.rand() < 0.85:
+            hh = rng.randint(h // 14, h // 7)
+            m = np.zeros((h, w), np.uint8)
+            cv2.ellipse(m, (w // 2, h + hh), (int(w * 0.75), 2 * hh), 0,
+                        180, 360, 255, -1)
+            sel = m > 0
+            hood = np.array([35, 35, 38]) + rng.uniform(-8, 8, 3)
+            img[sel] = hood + rng.randn(int(sel.sum()), 3) * 3
+            mask[sel] = 2
+
+        img = img * tint * expo
+        img += rng.randn(h, w, 3) * rng.uniform(2, 7) * level
+        return np.clip(img, 0, 255).astype(np.uint8), mask
+
+    # reference split protocol: train 10/90 labeled/unlabeled
+    # (Cityscapes/01:49-56, test_size=0.9), val 50/50 into val/test
+    n_labeled = int(round(n_train * labeled_frac))
+    for split, n in (("train_labeled", n_labeled),
+                     ("train_unlabeled", n_train - n_labeled),
+                     ("val", n_val), ("test", n_test)):
+        for i in range(n):
+            img, mask = sample()
+            name = f"Cityscapes_{split}_{i:05d}.png"
+            _write(os.path.join(base_dir, split, "images", name), img)
+            _write(os.path.join(base_dir, split, "masks", name), mask)
