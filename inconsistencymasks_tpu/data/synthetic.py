@@ -3,6 +3,7 @@ test suite and by `bench.py` smoke paths when no real data is mounted."""
 
 from __future__ import annotations
 
+import math
 import os
 
 import cv2
@@ -1100,8 +1101,10 @@ def make_cityscapes_like_dataset(base_dir: str, *, n_train: int = 2975,
         return np.clip(img, 0, 255).astype(np.uint8), mask
 
     # reference split protocol: train 10/90 labeled/unlabeled
-    # (Cityscapes/01:49-56, test_size=0.9), val 50/50 into val/test
-    n_labeled = int(round(n_train * labeled_frac))
+    # (Cityscapes/01:49-56, test_size=0.9), val 50/50 into val/test.
+    # sklearn train_test_split CEILS the test (=unlabeled) share, so the
+    # labeled count is the remainder (2975 -> 297, not round()'s 298).
+    n_labeled = n_train - int(math.ceil(n_train * (1.0 - labeled_frac)))
     for split, n in (("train_labeled", n_labeled),
                      ("train_unlabeled", n_train - n_labeled),
                      ("val", n_val), ("test", n_test)):

@@ -56,9 +56,20 @@ def build():
     sys.path.insert(0, REPO)
     from inconsistencymasks_tpu.data.synthetic import make_hela_like_dataset
 
-    if not os.path.isdir(os.path.join(HELA, "train_labeled", "brightfield")):
+    # Completion sentinel, not mere existence: the tree appears at the
+    # first _write, so an interrupted generation would otherwise be
+    # silently accepted as complete (ADVICE r4 medium).
+    done = os.path.join(BASE, ".build_done")
+    if not os.path.exists(done):
+        if os.path.isdir(HELA):
+            import shutil
+            print("[build] partial tree without .build_done — regenerating",
+                  flush=True)
+            shutil.rmtree(HELA)
         t0 = time.time()
         make_hela_like_dataset(HELA, difficulty="hard")
+        with open(done, "w") as f:
+            f.write(time.strftime("%F %T") + "\n")
         print(f"[build] HeLa-like proxy in {time.time() - t0:.0f}s",
               flush=True)
     # train_full = labeled + unlabeled (for the FDT ceiling, stage 02)

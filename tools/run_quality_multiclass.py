@@ -52,9 +52,20 @@ def build():
     sys.path.insert(0, REPO)
     from inconsistencymasks_tpu.data.synthetic import make_suim_like_dataset
 
-    if not os.path.isdir(os.path.join(SUIM, "train_labeled", "images")):
+    # Completion sentinel, not mere existence: the tree appears at the
+    # first _write, so an interrupted generation would otherwise be
+    # silently accepted as complete (ADVICE r4 medium).
+    done = os.path.join(BASE, ".build_done")
+    if not os.path.exists(done):
+        if os.path.isdir(SUIM):
+            import shutil
+            print("[build] partial tree without .build_done — regenerating",
+                  flush=True)
+            shutil.rmtree(SUIM)
         t0 = time.time()
         make_suim_like_dataset(SUIM, difficulty="hard")
+        with open(done, "w") as f:
+            f.write(time.strftime("%F %T") + "\n")
         print(f"[build] SUIM-like proxy in {time.time() - t0:.0f}s",
               flush=True)
     for sub in ("images", "masks"):

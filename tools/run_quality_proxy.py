@@ -61,9 +61,20 @@ def build():
     sys.path.insert(0, REPO)
     from inconsistencymasks_tpu.data.synthetic import make_isic_like_dataset
 
-    if not os.path.isdir(os.path.join(ISIC, "train_labeled", "images")):
+    # Gate regeneration on a completion sentinel, not mere existence: the
+    # tree appears at the first _write, so an interrupted generation would
+    # otherwise be silently accepted as complete (ADVICE r4 medium).
+    done = os.path.join(BASE, ".build_done")
+    if not os.path.exists(done):
+        if os.path.isdir(ISIC):
+            import shutil
+            print("[build] partial tree without .build_done — regenerating",
+                  flush=True)
+            shutil.rmtree(ISIC)
         t0 = time.time()
         make_isic_like_dataset(ISIC, difficulty="hard")
+        with open(done, "w") as f:
+            f.write(time.strftime("%F %T") + "\n")
         print(f"[build] hard proxy dataset in {time.time() - t0:.0f}s")
     # train_full = labeled + unlabeled (the reference's 01 split goes the
     # other way: train_full is the source); hardlinks, no copies
