@@ -41,7 +41,10 @@ def r4e_pid():
 def r4e_done():
     try:
         with open(R4E_LOG) as f:
-            if "chain complete" in f.read():
+            # end-of-line match only: the startup echo "...(chain
+            # complete) — starting..." must NOT trip this (ADVICE r4 high)
+            if any(line.rstrip().endswith("chain complete")
+                   for line in f):
                 return "chain complete"
     except FileNotFoundError:
         pass
