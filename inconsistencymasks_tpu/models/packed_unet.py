@@ -81,14 +81,23 @@ def _block_diag_kernel(stacked_kernel: jnp.ndarray) -> jnp.ndarray:
 # contract on TPU — matmul operands are tile-relayout'd in VREGs — so
 # re-expressing convs (or just their backward) as dots can kill the copies:
 #
-#   IM_CONV_IMPL=conv        lax.conv_general_dilated
+#   IM_CONV_IMPL=conv        lax.conv_general_dilated.  DEFAULT since the
+#                            round-5 sweep: conv + the packed f32 head
+#                            (IM_PACKED_HEAD=1, below) measures 135.5
+#                            ms/step at pop 15 / 256^2 / b32 on v5e-1 —
+#                            at the ~130 ms speed-of-light estimate for
+#                            this layout (ROADMAP) — vs dot1x1's 182.3
+#                            and dot1x1+packedhead's 161.7: with the
+#                            head's P slice+conv pairs gone, the plain
+#                            conv backward relayouts BEAT the dot
+#                            re-expression, so dot1x1 (round-3's default,
+#                            182.3 vs conv-alone 208.4) is now only the
+#                            fallback for packed-head-off runs.
 #   IM_CONV_IMPL=dot1x1      1x1 convs as dot_general (traffic-neutral:
 #                            a 1x1 conv IS a matmul; autodiff then derives
 #                            dot-based dgrad/wgrad for half the network).
-#                            DEFAULT since the round-3 sweep
-#                            (tools/bench_layout_variants.py, v5e-1,
-#                            pop 15 / 256^2 / b32): 182.3 ms/step vs
-#                            conv's 208.4 — every other variant is worse
+#                            Round-3 sweep: 182.3 ms/step vs conv's 208.4
+#                            — every other round-3 variant was worse
 #                            (wgraddot 239.0, dot1x1+wgraddot 210.8,
 #                            convdotbwd 313.4, dot 343.6, pool_slice
 #                            230.2, dot1x1+pool_slice 209.8).
@@ -105,7 +114,7 @@ def _block_diag_kernel(stacked_kernel: jnp.ndarray) -> jnp.ndarray:
 #   IM_CONV_WGRAD_DOT=1      composable: conv forward+dgrad, dot wgrad
 # ---------------------------------------------------------------------------
 
-_CONV_IMPL = os.environ.get("IM_CONV_IMPL", "dot1x1")
+_CONV_IMPL = os.environ.get("IM_CONV_IMPL", "conv")
 _WGRAD_DOT = os.environ.get("IM_CONV_WGRAD_DOT", "0") == "1"
 
 
@@ -283,7 +292,13 @@ def _conv_grouped(x: jnp.ndarray, conv_p, act, dt, target: int,
 
 
 _BN_BF16 = os.environ.get("IM_BN_BF16", "0") == "1"
-_PACKED_HEAD = os.environ.get("IM_PACKED_HEAD", "0") == "1"
+# Block-diagonal f32 head dot instead of P slice+conv pairs (same math —
+# off-diagonal blocks contribute exact f32 zeros; see the head below).
+# DEFAULT since the round-5 sweep: conv+packedhead = 135.5 ms/step vs 182.3
+# for round-3's dot1x1 default (the per-model head slices at 8-channel
+# offsets are never lane-tile-aligned, so each cost a relayout copy
+# forward AND backward).
+_PACKED_HEAD = os.environ.get("IM_PACKED_HEAD", "1") == "1"
 _DENSE_INPUT = os.environ.get("IM_PACKED_INPUT_DENSE", "0") == "1"
 _POOL_EQMASK = os.environ.get("IM_POOL_EQMASK", "0") == "1"
 _POOL_RESHAPE = os.environ.get("IM_POOL_RESHAPE", "0") == "1"
