@@ -45,19 +45,27 @@ def main():
     proxy = os.path.join("tools", "run_quality_proxy.py")
     cs = os.path.join("tools", "run_quality_cityscapes.py")
 
+    # IM-family cells' unlabeled pred dumps feed NOTHING downstream (IM
+    # generation is on-device from checkpoints) yet cost ~818 MB d2h per
+    # cell on this relay (measured, SUIM gen 0) — IM_PRED_SPLITS=none for
+    # those steps.  Segnet chains KEEP the default (their filtering reads
+    # the per-candidate unlabeled dirs), so subset/ALDT stages dump too.
     watched("mcseg", mc, ["11", "collect"], {"IM_GENS": "0,1,2"})
     watched("helacore", hela, ["build", "03", "04", "09", "collect"],
             {"IM_GENS": "0,1"})
-    watched("mcim", mc, ["10", "collect"], {"IM_GENS": "0,1,2"})
+    watched("mcim", mc, ["10", "collect"],
+            {"IM_GENS": "0,1,2", "IM_PRED_SPLITS": "none"})
     watched("helaseg", hela, ["10", "11", "12", "collect"],
             {"IM_GENS": "0,1"})
-    watched("mcrest", mc, ["12", "13", "collect"], {"IM_GENS": "0,1"})
+    watched("mcrest", mc, ["12", "13", "collect"],
+            {"IM_GENS": "0,1", "IM_PRED_SPLITS": "none"})
     watched("custody", proxy, ["build", "03", "09", "collect"],
-            {"IM_GENS": "0,1,2", "IM_N_VALUES": "2"})
+            {"IM_GENS": "0,1,2", "IM_N_VALUES": "2",
+             "IM_PRED_SPLITS": "none"})
     watched("cs", cs, ["build", "03", "04", "09", "11", "12", "10",
                        "collect"], {"IM_GENS": "0,1"})
     watched("aimext", proxy, ["04", "14", "collect"],
-            {"IM_GENS": "0,1,2,3,4"})
+            {"IM_GENS": "0,1,2,3,4", "IM_PRED_SPLITS": "none"})
 
     note("r5b conductor finished every step")
 
