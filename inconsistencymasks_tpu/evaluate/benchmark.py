@@ -314,11 +314,19 @@ def _iou_multi_unique_pop(pred, gt, num_classes, eps=1e-7):
 
 @_partial(jax.jit, static_argnums=2)
 def _multiclass_postproc_pop(probs, gt, num_classes):
+    """Returns (preds, pa, iou) with preds NIBBLE-PACKED (2 px/byte) on
+    device when the class ids fit 4 bits and W is even — the unlabeled
+    pred-dump download measured 818 MB/cell raw on the SUIM quality run
+    (2,340 images x 5 candidates over the ~MB/s relay); packing halves
+    it.  Cityscapes (35 classes) and odd widths stay raw uint8."""
     pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)    # (K,B,H,W)
     correct = jnp.sum((pred == gt[None]).astype(jnp.float32), axis=(-1, -2))
     pa = correct / (gt.shape[-1] * gt.shape[-2])           # (K,B)
     iou = _iou_multi_unique_pop(pred, gt, num_classes)
-    return pred.astype(jnp.uint8), pa, iou
+    pred = pred.astype(jnp.uint8)
+    if num_classes <= 16 and pred.shape[-1] % 2 == 0:
+        pred = bitpack.packnibbles2d(pred)                 # (K,B,H,W//2)
+    return pred, pa, iou
 
 
 @jax.jit
@@ -418,9 +426,13 @@ def benchmark_multiclass_population(module, variables_list,
             pas[i].extend(round(float(v), 4) for v in pa_np[i])
             ious[i].extend(round(float(v), 4) for v in iou_np[i])
         if dump_idx:
+            w = int(images.shape[2])
+            packed = num_classes <= 16 and w % 2 == 0
             fetched = _fetch_dumped(preds, dump_idx, k)
             for i in dump_idx:
                 pn = fetched[i][skip:]
+                if packed:
+                    pn = bitpack.unpacknibbles2d(pn, w)
                 for j in range(pn.shape[0]):
                     name = images_ds.names[cursor + j]
                     imwrite_async(os.path.join(pred_dirs[i], name), pn[j])
