@@ -871,7 +871,9 @@ def train_evalnet_population(ad: DatasetAdapter, evalnet_name: str,
             val_main, c.num_classes, c.image_channels, classwise=True)
 
     trainer = EvalNetTrainer(module, stacked, two_head=two_head,
-                             learning_rate=d.lr, weight_decay=d.wd)
+                             learning_rate=d.lr, weight_decay=d.wd,
+                             batch_size_hint=d.batch_size_evalnet,
+                             image_hw=(c.image_height, c.image_width))
     trainer.fit(train_ds, val_ds,
                 epochs=ad.epochs or d.num_epochs_evalnet,
                 batch_size=d.batch_size_evalnet, seed=d.seed, log=ad.log)
