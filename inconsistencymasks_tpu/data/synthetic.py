@@ -575,7 +575,14 @@ def make_hela_like_dataset(base_dir: str, *, n_train: int = 1700,
     from the exact generator centres.
     """
     rng = np.random.RandomState(seed)
-    level = {"easy": 0.6, "hard": 1.0, "extreme": 1.4}[difficulty]
+    # 'hard' (level 1.0) measured UNLEARNABLE at the LDT scale on the real
+    # chip (round 5): all 10 candidates collapse to the all-zeros MSE
+    # floor (val_loss 0.031 ~= mean positive fraction /3ch) because the
+    # illumination gradients swamp the ~18-gray cell contrast at 10 %
+    # labeled.  'medium' (0.8) keeps the data-limited design with a
+    # learnable contrast/noise ratio.
+    level = {"easy": 0.6, "medium": 0.8, "hard": 1.0,
+             "extreme": 1.4}[difficulty]
 
     def cell_outline(cy, cx, r, elong, ang, n_harm_max=5):
         thetas = np.linspace(0, 2 * np.pi, 48, endpoint=False)

@@ -67,7 +67,8 @@ def build():
                   flush=True)
             shutil.rmtree(HELA)
         t0 = time.time()
-        make_hela_like_dataset(HELA, difficulty="hard")
+        make_hela_like_dataset(
+            HELA, difficulty=os.environ.get("IM_PROXY_DIFFICULTY", "hard"))
         with open(done, "w") as f:
             f.write(time.strftime("%F %T") + "\n")
         print(f"[build] HeLa-like proxy in {time.time() - t0:.0f}s",
