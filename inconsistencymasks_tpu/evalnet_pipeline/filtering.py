@@ -56,6 +56,40 @@ def _scorer(module, two_head: bool):
     return fn
 
 
+def _gather_scorer_mc(module, num_classes: int):
+    """Device-cached two-head scorer for the multiclass filter.
+
+    The original per-batch path uploaded (B*K) image copies plus HOST-side
+    one-hot masks every batch — ~63 MB/batch, and the relay client leaks
+    ~1.2 bytes of host RSS per byte sent (CLAUDE.md): the SUIM gen-0
+    filter measured 70 GB uploaded / 83 GB RSS before the host limit.
+    This variant gathers a (B,) index batch from the ONCE-uploaded images
+    and candidate CLASS MAPS and builds the one-hot ON DEVICE, so the
+    per-batch host->device transfer is a (B,) int32 vector."""
+    key = (module, "gather", num_classes)
+    fn = _SCORE_CACHE.get(key)
+    if fn is None:
+        def score(stacked_vars, images_all, cands_all, idx):
+            imgs = images_all[idx]                       # (B,H,W,3)
+            cands = cands_all[idx]                       # (B,K,H,W)
+            b, k = cands.shape[0], cands.shape[1]
+            flat_imgs = jnp.repeat(imgs, k, axis=0)
+            oh = jax.nn.one_hot(
+                jnp.clip(cands, 0, num_classes - 1), num_classes,
+                dtype=jnp.uint8, axis=-1)                # (B,K,H,W,C) 0/1
+            flat_masks = oh.reshape((b * k,) + oh.shape[2:])
+
+            def per_model(v):
+                return module.apply(v, flat_imgs, flat_masks, train=False)
+
+            out = unrolled_map(per_model, stacked_vars)
+            return jax.tree.map(lambda t: jnp.mean(t, axis=0), out)
+
+        fn = jax.jit(score)
+        _SCORE_CACHE[key] = fn
+    return fn
+
+
 def _load_candidates(imagename, mask_paths, accepted_masks_dir):
     """Candidate masks for one image: one per prediction dir + optionally
     the already-accepted (last-gen) mask."""
@@ -144,7 +178,7 @@ def create_training_data_for_segnet_miou_multiclass(
     """Two-head filtering with detection-masked mIoU (reference
     functions.py:5468-5577)."""
     ens = StackedEnsemble(evalnet_module, evalnets)
-    score = _scorer(evalnet_module, two_head=True)
+    score = _gather_scorer_mc(evalnet_module, num_classes)
 
     images_out = os.path.join(main_output_path, "images")
     masks_out = os.path.join(main_output_path, "masks")
@@ -168,23 +202,24 @@ def create_training_data_for_segnet_miou_multiclass(
                            cv2.COLOR_BGR2RGB)
         groups.setdefault(len(cands), []).append((n, img, cands))
 
-    eye = np.eye(num_classes, dtype=np.uint8)
     accepted = 0
     for k, items in groups.items():
-        for start in range(0, len(items), batch_size):
-            chunk = items[start:start + batch_size]
-            b = len(chunk)
-            # pad the final chunk so every batch compiles the same program
+        # this K-group's images + candidate class maps upload ONCE; every
+        # batch then gathers by (B,) int32 on device (see _gather_scorer_mc)
+        dev_imgs = jnp.asarray(np.stack([c[1] for c in items]))
+        dev_cands = jnp.asarray(
+            np.stack([np.stack(c[2]) for c in items]))       # (N,K,H,W)
+        n_items = len(items)
+        for start in range(0, n_items, batch_size):
+            sel = np.arange(start, min(start + batch_size, n_items))
+            b = len(sel)
+            # pad the final batch so every batch compiles the same program
             # shape (each distinct shape is a multi-minute remote compile);
             # padded rows are scored and dropped
-            chunk_p = chunk + [chunk[-1]] * (batch_size - b)
-            imgs = np.stack([c[1] for c in chunk_p])
-            cands = np.stack([np.stack(c[2]) for c in chunk_p])  # (B,K,H,W)
-            onehot = eye[np.clip(cands, 0, num_classes - 1)]    # (B,K,H,W,C)
-            flat_imgs = np.repeat(imgs, k, axis=0)
-            flat_masks = onehot.reshape(batch_size * k, *onehot.shape[2:])
-            iou_p, det_p = score(ens.stacked, jnp.asarray(flat_imgs),
-                                 jnp.asarray(flat_masks))  # (B*K,C) means
+            sel_p = np.concatenate(
+                [sel, np.full(batch_size - b, sel[-1])]).astype(np.int32)
+            iou_p, det_p = score(ens.stacked, dev_imgs, dev_cands,
+                                 jnp.asarray(sel_p))         # (B*K,C) means
             mean_iou = np.asarray(iou_p).reshape(batch_size, k, num_classes)
             mean_det = np.asarray(det_p).reshape(batch_size, k, num_classes)
             valid = mean_det >= 0.5
@@ -193,13 +228,15 @@ def create_training_data_for_segnet_miou_multiclass(
                 num_valid > 0,
                 (mean_iou * valid).sum(-1) / np.maximum(num_valid, 1), 0.0)
             best_idx = miou.argmax(axis=1)
-            for i, (n, img, cand_list) in enumerate(chunk):
+            for i in range(b):
+                n, _img, cand_list = items[start + i]
                 if miou[i, best_idx[i]] >= threshold:
                     shutil.copy(os.path.join(images_path, n),
                                 os.path.join(images_out, n))
                     imwrite_async(os.path.join(masks_out, n),
-                                cand_list[best_idx[i]])
+                                  cand_list[best_idx[i]])
                     accepted += 1
+        del dev_imgs, dev_cands
     return accepted
 
 
