@@ -404,43 +404,76 @@ def benchmark_multiclass_population(module, variables_list,
     from ..train.checkpoint import stack_variables
     k = len(variables_list)
     pred_dirs = pred_dirs or [None] * k
-    stacked = stack_variables(list(variables_list))
     forward = _stacked_forward_fn(module)
     dump_idx = [i for i, d in enumerate(pred_dirs) if d]
     for i in dump_idx:
         os.makedirs(pred_dirs[i], exist_ok=True)
     lut = class_to_color_lut(class_to_color, num_classes)
 
+    # HBM-bounded candidate chunking, sized deterministically up front:
+    # a compile-time OOM on this backend is an OPAQUE remote_compile 500
+    # (CLAUDE.md), so a catch-and-halve cannot see it.  The dominant
+    # buffer is the (K,B,H,W,num_classes) f32 logits stack — 7.75 GB for
+    # the Cityscapes benchmark (K=10, B=64, 208x416, 35 classes), which
+    # is what OOMed at full K.  Bound the logits stack to
+    # IM_BENCH_HBM_GB (activations ride in the remaining headroom) and
+    # pad the final chunk by repeating candidates so every chunk shares
+    # ONE compiled program.  SUIM/HeLa shapes resolve to their full K,
+    # keeping their previous single-pass behavior (and compile caches).
+    chunk_stacks = None
+
     pas = [[] for _ in range(k)]
     ious = [[] for _ in range(k)]
     cursor = 0
     for images, gts, skip in device_eval_batches(images_ds, batch_size,
                                                  pad_final=True):
-        probs = forward(stacked, images)
-        preds, pa, iou = _multiclass_postproc_pop(probs, gts[..., 0]
-                                                  if gts.ndim == 4 else gts,
-                                                  num_classes)
-        pa_np = np.asarray(pa)[:, skip:]
-        iou_np = np.asarray(iou)[:, skip:]
-        for i in range(k):
-            pas[i].extend(round(float(v), 4) for v in pa_np[i])
-            ious[i].extend(round(float(v), 4) for v in iou_np[i])
-        if dump_idx:
-            w = int(images.shape[2])
-            packed = num_classes <= 16 and w % 2 == 0
-            fetched = _fetch_dumped(preds, dump_idx, k)
-            for i in dump_idx:
-                pn = fetched[i][skip:]
-                if packed:
-                    pn = bitpack.unpacknibbles2d(pn, w)
-                for j in range(pn.shape[0]):
-                    name = images_ds.names[cursor + j]
-                    imwrite_async(os.path.join(pred_dirs[i], name), pn[j])
-                    color = lut[pn[j]]
-                    imwrite_async(
-                        os.path.join(pred_dirs[i], f"{name[:-4]}_color.png"),
-                        cv2.cvtColor(color, cv2.COLOR_RGB2BGR))
-        cursor += pa_np.shape[1]
+        if chunk_stacks is None:
+            b, h, w0 = (int(images.shape[0]), int(images.shape[1]),
+                        int(images.shape[2]))
+            budget = float(os.environ.get("IM_BENCH_HBM_GB", "2")) * 1e9
+            per_cand = b * h * w0 * num_classes * 4
+            ck = max(1, min(k, int(budget // max(per_cand, 1)) or 1))
+            cap = int(os.environ.get("IM_BENCH_POP_MAX", "0"))
+            if cap:
+                ck = min(ck, cap)
+            chunk_stacks = []
+            for c0 in range(0, k, ck):
+                vs = list(variables_list[c0:c0 + ck])
+                real = len(vs)
+                while len(vs) < ck:
+                    vs.append(vs[-1])          # pad: one compiled shape
+                chunk_stacks.append((c0, real, stack_variables(vs)))
+        gt2d = gts[..., 0] if gts.ndim == 4 else gts
+        w = int(images.shape[2])
+        packed = num_classes <= 16 and w % 2 == 0
+        nrow = None
+        for c0, real, st in chunk_stacks:
+            probs = forward(st, images)
+            preds, pa, iou = _multiclass_postproc_pop(probs, gt2d,
+                                                      num_classes)
+            pa_np = np.asarray(pa)[:real, skip:]
+            iou_np = np.asarray(iou)[:real, skip:]
+            nrow = pa_np.shape[1]
+            for i in range(real):
+                pas[c0 + i].extend(round(float(v), 4) for v in pa_np[i])
+                ious[c0 + i].extend(round(float(v), 4) for v in iou_np[i])
+            local_dump = [i - c0 for i in dump_idx if c0 <= i < c0 + real]
+            if local_dump:
+                fetched = _fetch_dumped(preds[:real], local_dump, real)
+                for li in local_dump:
+                    pn = fetched[li][skip:]
+                    if packed:
+                        pn = bitpack.unpacknibbles2d(pn, w)
+                    for j in range(pn.shape[0]):
+                        name = images_ds.names[cursor + j]
+                        imwrite_async(os.path.join(pred_dirs[c0 + li],
+                                                   name), pn[j])
+                        color = lut[pn[j]]
+                        imwrite_async(
+                            os.path.join(pred_dirs[c0 + li],
+                                         f"{name[:-4]}_color.png"),
+                            cv2.cvtColor(color, cv2.COLOR_RGB2BGR))
+        cursor += nrow
 
     return [(round(float(np.sum(pas[i]) / len(pas[i])), 3),
              round(float(np.sum(ious[i]) / len(ious[i])), 3))
